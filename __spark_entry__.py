@@ -3,36 +3,139 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Engine: ``accelerating_tc_spark`` (see SURVEY.md for the blueprint).
+Graph queries run over the part co-purchase graph derived
+deterministically from ``lineitem`` (FIXTURES.md §7); the same
+derivation is embedded in each oracle SQL as a CTE so DuckDB builds
+the identical graph.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from accelerating_tc_spark.operators import prep, triangles  # noqa: E402
+from accelerating_tc_spark.sources import tpch_graph  # noqa: E402
+
+# DuckDB CTEs building the exact same graph the Spark side builds.
+_EDGES_CTE = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+)
+"""
+
+_EDGES_DEG_CTE = _EDGES_CTE + """
+, degs AS (
+  SELECT vertex, COUNT(*) AS degree FROM (
+    SELECT src AS vertex FROM edges
+    UNION ALL
+    SELECT dst AS vertex FROM edges
+  ) GROUP BY vertex
+)
+, oriented AS (
+  SELECT
+    CASE WHEN ds.degree < dd.degree OR (ds.degree = dd.degree AND e.src < e.dst)
+         THEN e.src ELSE e.dst END AS src,
+    CASE WHEN ds.degree < dd.degree OR (ds.degree = dd.degree AND e.src < e.dst)
+         THEN e.dst ELSE e.src END AS dst
+  FROM edges e
+  JOIN degs ds ON ds.vertex = e.src
+  JOIN degs dd ON dd.vertex = e.dst
+)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: exact triangle count of the
+    co-purchase graph via the bounded-shuffle blocked strategy."""
+    edges = tpch_graph.copurchase_edges(spark, "/root/testdata/sf0.001")
+    return triangles.count_triangles(edges, strategy="blocked", n_blocks=4)
+
+
+def _q_tc(strategy: str, n_blocks: int = 8):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        edges = tpch_graph.copurchase_edges(spark, sf_dir)
+        return triangles.count_triangles(edges, strategy=strategy, n_blocks=n_blocks)
+
+    return run
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_graph.copurchase_edges(spark, sf_dir)
+    return prep.degree_histogram(prep.canonicalize_edges(edges)).orderBy("degree")
+
+
+def _q_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = prep.canonicalize_edges(tpch_graph.copurchase_edges(spark, sf_dir))
+    oriented = prep.orient_by_degree(edges)
+    return prep.out_degrees(oriented).orderBy("vertex")
+
+
+def _q_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = prep.canonicalize_edges(tpch_graph.copurchase_edges(spark, sf_dir))
+    return edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.max(F.greatest("src", "dst")).alias("max_vertex"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        "tc_join": _q_tc("join"),
+        "tc_array_intersect": _q_tc("array_intersect"),
+        "tc_kernel": _q_tc("kernel"),
+        "tc_blocked": _q_tc("blocked"),
+        "degree_histogram": _q_degree_histogram,
+        "out_degrees": _q_out_degrees,
+        "edge_count": _q_edge_count,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TC_ORACLE = _EDGES_CTE + """
+SELECT COUNT(*)::BIGINT AS triangles
+FROM edges e1
+JOIN edges e2 ON e1.dst = e2.src
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same column names/aliases)."""
+    return {
+        # id-oriented (src<dst) 3-way join counts each triangle exactly once;
+        # degree orientation changes the plan, never the count.
+        "tc_join": _TC_ORACLE,
+        "tc_array_intersect": _TC_ORACLE,
+        "tc_kernel": _TC_ORACLE,
+        "tc_blocked": _TC_ORACLE,
+        "degree_histogram": _EDGES_DEG_CTE
+        + """
+SELECT degree, COUNT(*)::BIGINT AS n_vertices
+FROM degs GROUP BY degree ORDER BY degree
+""",
+        "out_degrees": _EDGES_DEG_CTE
+        + """
+SELECT src AS vertex, COUNT(*)::BIGINT AS out_degree
+FROM oriented GROUP BY src ORDER BY vertex
+""",
+        "edge_count": _EDGES_CTE
+        + """
+SELECT COUNT(*)::BIGINT AS n_edges, MAX(GREATEST(src, dst))::BIGINT AS max_vertex
+FROM edges
+""",
+    }

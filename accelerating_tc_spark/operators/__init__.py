@@ -1,0 +1,1 @@
+"""Relational/graph operators of the engine (SURVEY.md §2)."""

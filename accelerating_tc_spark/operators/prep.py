@@ -1,0 +1,175 @@
+"""Edge-table preparation: cleaning, degrees, orientation, pruning, ID compaction.
+
+Spark-first re-expressions of the reference's preprocessing stages
+(SURVEY.md §2.2/§2.4): declarative DataFrame plans so Catalyst gets
+pushdown/pruning for free; the only shuffles are the ones the algorithms
+inherently need (degree agg, orientation join).
+
+Reference parity notes (file:line cites into /root/reference):
+- self-loop filter      -> Hu/preTC.cu:253-260, tricore/src/tricount_gpu.cu:139-144
+- dedup                 -> edge_directing/A-direction-parallel/buildCSR.cu:145-147
+- symmetrize            -> buildCSR.cu:114-120, edge_directing/A-direction.cpp:226-232
+- degree histogram      -> tricore/src/tricount_gpu.cu:37-67, Hu/preTC.cu:116-123
+- degree orientation    -> Hu/preTC.cu:125-133, tricount_gpu.cu:69-101 (redirect_edges)
+- id orientation        -> Fox/preTC.cu:92-101, org_triangle_count.cpp:20-27
+- degree-rank relabel   -> Bisson/preTC.cu:145-162, tools/directionByReorder.cpp:39-68
+- degree<=1 prune       -> Hu/preTC.cu:135-168
+- dense-ID compaction   -> tools/adjust2tc.cpp:14-36, tools/serialize.cpp:17-46
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonicalize_edges(edges: DataFrame) -> DataFrame:
+    """Undirected simple graph as canonical (src < dst) edge rows.
+
+    Drops self-loops and duplicates (including (v,u) mirrors of (u,v)).
+    One shuffle (the distinct); filters sit below it so they push to the scan.
+    """
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").cast("long").alias("src"),
+            F.greatest("src", "dst").cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def symmetrize(canonical: DataFrame) -> DataFrame:
+    """Both directions of each canonical edge (the reference's symmetrized list)."""
+    return canonical.union(canonical.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def degrees(canonical: DataFrame) -> DataFrame:
+    """(vertex, degree) — undirected degree via explode + hash agg.
+
+    Spark's partial+final aggregation is the two-level reduction the
+    reference does with atomicAdd + reduce.
+    """
+    return (
+        canonical.select(F.explode(F.array("src", "dst")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+
+
+def orient_by_id(canonical: DataFrame) -> DataFrame:
+    """Identity orientation: canonical rows already satisfy src < dst."""
+    return canonical
+
+
+def orient_by_degree(canonical: DataFrame, deg: DataFrame | None = None) -> DataFrame:
+    """Direct each edge low-degree -> high-degree, ties by vertex id.
+
+    This is the core logical rewrite of the whole engine: it bounds per-vertex
+    out-degree so the wedge join is O(sum outdeg^2) instead of O(sum deg^2).
+    Tie-break (degree, id) lexicographic, matching the reference exactly.
+    """
+    deg = deg if deg is not None else degrees(canonical)
+    with_deg = (
+        canonical.join(deg.withColumnRenamed("vertex", "src").withColumnRenamed("degree", "deg_src"), "src")
+        .join(deg.withColumnRenamed("vertex", "dst").withColumnRenamed("degree", "deg_dst"), "dst")
+    )
+    keep = (F.col("deg_src") < F.col("deg_dst")) | (
+        (F.col("deg_src") == F.col("deg_dst")) & (F.col("src") < F.col("dst"))
+    )
+    return with_deg.select(
+        F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )
+
+
+def degree_rank_relabel(canonical: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Rank vertices by (degree desc, id) and relabel edges with dense new ids.
+
+    Returns (relabeled_edges, mapping(vertex, new_id)). The single-partition
+    window is only over the VERTEX table (small relative to edges); at true
+    scale swap in zipWithIndex-style rank via repartitionByRange + partition
+    offsets — semantics identical.
+    """
+    deg = degrees(canonical)
+    w = Window.orderBy(F.desc("degree"), F.asc("vertex"))
+    mapping = deg.select("vertex", (F.row_number().over(w) - 1).alias("new_id"))
+    relabeled = (
+        canonical.join(mapping.withColumnRenamed("vertex", "src").withColumnRenamed("new_id", "new_src"), "src")
+        .join(mapping.withColumnRenamed("vertex", "dst").withColumnRenamed("new_id", "new_dst"), "dst")
+        .select(
+            F.least("new_src", "new_dst").alias("src"),
+            F.greatest("new_src", "new_dst").alias("dst"),
+        )
+    )
+    return relabeled, mapping
+
+
+def prune_low_degree(canonical: DataFrame, min_degree: int = 2, iterate: bool = False) -> DataFrame:
+    """Drop vertices with degree < min_degree (leaf/isolated pruning).
+
+    Semi-join shaped, like the reference's prefix-count squeeze. With
+    ``iterate=True`` peels to the full (min_degree)-core fixpoint.
+    """
+    current = canonical
+    while True:
+        deg = degrees(current)
+        keep = deg.where(F.col("degree") >= min_degree).select("vertex")
+        pruned = (
+            current.join(keep.withColumnRenamed("vertex", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        if not iterate:
+            return pruned
+        # Fixpoint check: one action per round; caller opts into iteration.
+        before = current.count()
+        after = pruned.count()
+        current = pruned.localCheckpoint(eager=True)
+        if after == before:
+            return current
+
+
+def compact_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Squeeze a sparse vertex-id space into dense [0, n) ids.
+
+    Returns (remapped_edges, mapping(vertex, new_id)); ordering of new ids is
+    by original id (gap-squeezing, like tools/serialize.cpp — not first-seen).
+    """
+    vertices = edges.select(F.col("src").alias("vertex")).union(
+        edges.select(F.col("dst").alias("vertex"))
+    ).distinct()
+    w = Window.orderBy("vertex")
+    mapping = vertices.select("vertex", (F.row_number().over(w) - 1).cast("long").alias("new_id"))
+    remapped = (
+        edges.join(mapping.withColumnRenamed("vertex", "src").withColumnRenamed("new_id", "new_src"), "src")
+        .join(mapping.withColumnRenamed("vertex", "dst").withColumnRenamed("new_id", "new_dst"), "dst")
+        .select(F.col("new_src").alias("src"), F.col("new_dst").alias("dst"))
+    )
+    return remapped, mapping
+
+
+def adjacency(oriented: DataFrame) -> DataFrame:
+    """(src, nbrs sorted array) — the CSR analog: one row per vertex with
+    out-neighbors as a sorted ArrayType column."""
+    return oriented.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+
+
+def out_degrees(oriented: DataFrame) -> DataFrame:
+    """(vertex, out_degree) after orientation (reference A-order.cpp:86-99)."""
+    return oriented.groupBy(F.col("src").alias("vertex")).agg(F.count(F.lit(1)).alias("out_degree"))
+
+
+def degree_histogram(canonical: DataFrame) -> DataFrame:
+    """(degree, n_vertices) distribution (reference approximateRatio.cpp:42-55)."""
+    return degrees(canonical).groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def orientation_balance_cost(oriented: DataFrame) -> DataFrame:
+    """Skew metric: sum |outdeg - avg_outdeg| over vertices with out-edges
+    (reference tools/verification.cpp:25-60). Single-row DataFrame."""
+    od = out_degrees(oriented)
+    avg = od.agg(F.avg("out_degree").alias("a"))
+    return od.crossJoin(avg).agg(
+        F.sum(F.abs(F.col("out_degree") - F.col("a"))).alias("balance_cost")
+    )

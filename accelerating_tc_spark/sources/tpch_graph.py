@@ -1,0 +1,65 @@
+"""Deterministic edge tables derived from the driver's TPC-H-ish parquet.
+
+The reference consumes SNAP-style edge lists; our correctness gate runs on
+the driver's star-schema tables, so graph queries derive their edge table
+from those deterministically. The canonical graph is the **part co-purchase
+graph**: an undirected edge between two parts whenever they appear in the
+same order (lineitem self-join on l_orderkey). This yields a skewed,
+triangle-rich graph whose construction is exactly expressible in ANSI SQL —
+so the DuckDB oracle can build the identical graph (FIXTURES.md §7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The same derivation, as a SQL CTE body reusable by oracle_sql() strings.
+COPURCHASE_EDGES_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_partkey < b.l_partkey
+"""
+
+# User co-event graph: users connected when they share an event_type within
+# the same hour — a second, time-derived graph for diagnostics.
+COEVENT_EDGES_SQL = """
+SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+FROM events a
+JOIN events b
+  ON a.event_type = b.event_type
+ AND date_trunc('hour', a.ts) = date_trunc('hour', b.ts)
+WHERE a.user_id < b.user_id
+"""
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (src < dst, distinct, no loops) part co-purchase edges."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.withColumnRenamed("l_partkey", "src")
+    b = li.withColumnRenamed("l_partkey", "dst")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+    )
+
+
+def coevent_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    a = ev.withColumnRenamed("user_id", "src")
+    b = ev.withColumnRenamed("user_id", "dst")
+    return (
+        a.join(b, ["event_type", "hr"])
+        .where(F.col("src") < F.col("dst"))
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+    )

@@ -1,0 +1,51 @@
+"""Cross-implementation triangle-count agreement (the reference's de-facto
+oracle, SURVEY.md §5): all four Spark strategies must agree with each other,
+with the numpy trace(A^3)/6 oracle, and with known exact counts."""
+
+from __future__ import annotations
+
+import pytest
+
+from accelerating_tc_spark.operators import prep, triangles
+from accelerating_tc_spark.sources import synthetic
+
+STRATEGIES = ["join", "array_intersect", "kernel", "blocked"]
+
+
+def _count(df) -> int:
+    return df.collect()[0]["triangles"]
+
+
+@pytest.mark.parametrize("name", sorted(synthetic.TINY_GRAPHS))
+def test_tiny_graphs_exact(spark, name):
+    edges, expected = synthetic.tiny_graph(spark, name)
+    for strategy in STRATEGIES:
+        got = _count(triangles.count_triangles(edges, strategy=strategy, n_blocks=2))
+        assert got == expected, f"{name}/{strategy}: {got} != {expected}"
+
+
+@pytest.mark.parametrize("seed", [42, 43])
+def test_powerlaw_matches_numpy_oracle(spark, seed):
+    pairs = synthetic.powerlaw_edge_pairs(300, 1500, seed=seed)
+    expected = synthetic.numpy_triangle_count(pairs)
+    edges = synthetic.edges_df(spark, pairs.tolist())
+    for strategy in STRATEGIES:
+        got = _count(triangles.count_triangles(edges, strategy=strategy, n_blocks=3))
+        assert got == expected, f"{strategy}: {got} != {expected}"
+
+
+def test_hub_graph_all_strategies_agree(spark):
+    edges = synthetic.hub_edges(spark, n_vertices=150)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    expected = synthetic.numpy_triangle_count(pairs)
+    for strategy in STRATEGIES:
+        got = _count(triangles.count_triangles(edges, strategy=strategy, n_blocks=4))
+        assert got == expected
+
+
+def test_per_vertex_counts_sum_to_3x(spark):
+    edges, expected = synthetic.tiny_graph(spark, "k5")
+    oriented = prep.orient_by_degree(prep.canonicalize_edges(edges))
+    pv = triangles.per_vertex_triangle_counts(oriented)
+    total = pv.groupBy().sum("tri_cnt").collect()[0][0]
+    assert total == 3 * expected
