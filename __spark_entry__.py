@@ -25,7 +25,14 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from accelerating_tc_spark.operators import prep, triangles  # noqa: E402
+from accelerating_tc_spark.operators import (  # noqa: E402
+    components,
+    kcore,
+    labelprop,
+    pagerank,
+    prep,
+    triangles,
+)
 from accelerating_tc_spark.sources import tpch_graph  # noqa: E402
 
 # DuckDB CTEs building the exact same graph the Spark side builds.
@@ -93,6 +100,36 @@ def _q_edge_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.canonicalize_edges(tpch_graph.copurchase_edges(spark, sf_dir))
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pr = pagerank.pagerank(spark, _canonical(spark, sf_dir), n_iterations=10)
+    return pr.select("vertex", F.round("rank", 6).alias("rank")).orderBy("vertex")
+
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return components.connected_components(spark, _canonical(spark, sf_dir)).orderBy("vertex")
+
+
+def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return labelprop.label_propagation(
+        spark, _canonical(spark, sf_dir), n_iterations=5
+    ).orderBy("vertex")
+
+
+def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kcore.core_numbers(spark, _canonical(spark, sf_dir)).orderBy("vertex")
+
+
+def _q_orientation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    oriented = prep.orient_by_degree(_canonical(spark, sf_dir))
+    return prep.orientation_balance_cost(oriented).select(
+        F.round("balance_cost", 6).alias("balance_cost")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -103,6 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "out_degrees": _q_out_degrees,
         "edge_count": _q_edge_count,
+        "pagerank": _q_pagerank,
+        "connected_components": _q_components,
+        "label_propagation": _q_labelprop,
+        "core_numbers": _q_core_numbers,
+        "orientation_balance": _q_orientation_balance,
     }
 
 
@@ -137,5 +179,16 @@ FROM oriented GROUP BY src ORDER BY vertex
         + """
 SELECT COUNT(*)::BIGINT AS n_edges, MAX(GREATEST(src, dst))::BIGINT AS max_vertex
 FROM edges
+""",
+        "pagerank": pagerank.pagerank_oracle_sql(_EDGES_CTE, n_iterations=10),
+        "connected_components": components.components_oracle_sql(_EDGES_CTE),
+        "label_propagation": labelprop.label_propagation_oracle_sql(_EDGES_CTE, n_iterations=5),
+        # core_numbers: h-index fixpoint is not reasonably SQL-expressible ->
+        # rows-only check; exactness is covered by tests/test_iterative.py.
+        "orientation_balance": _EDGES_DEG_CTE
+        + """
+, od AS (SELECT src, COUNT(*)::DOUBLE AS out_degree FROM oriented GROUP BY src)
+SELECT ROUND(SUM(ABS(out_degree - (SELECT AVG(out_degree) FROM od))), 6) AS balance_cost
+FROM od
 """,
     }

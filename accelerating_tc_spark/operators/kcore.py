@@ -1,0 +1,91 @@
+"""k-core decomposition + peel-priority edge orientation.
+
+The reference's A-direction peel (edge_directing/A-direction.cpp:84-146) and
+k-core direction (edge_directing/kcore_direction.cpp:91-146) orient edges by
+a peeling priority. Sequential bucket peeling (Matula-Beck) doesn't map to
+DataFrames, so core numbers are computed with the h-index fixpoint
+(Lü et al., "The H-index of a network node", 2016 — public result): start
+with est(v) = degree(v); repeat est(v) <- h-index of neighbors' estimates;
+the fixpoint is exactly the core number. Each round is one join + one
+window + one agg; the superstep spine provides checkpoint/resume.
+
+Orientation by (core, degree, id) lexicographic reproduces the reference's
+peel-orientation semantics (priority level, runtime degree, id tie-break —
+A-direction.cpp:266-285).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import prep, supersteps
+
+
+def core_numbers(
+    spark: SparkSession,
+    canonical: DataFrame,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(vertex, core) — exact core number per vertex at the h-index fixpoint."""
+    sym = prep.symmetrize(canonical).cache()
+    init = prep.degrees(canonical).select("vertex", F.col("degree").alias("core"))
+
+    w = Window.partitionBy("vertex").orderBy(F.desc("nbr_core"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        nbr = sym.join(state, sym["src"] == state["vertex"]).select(
+            F.col("dst").alias("vertex"), F.col("core").alias("nbr_core")
+        )
+        hidx = (
+            nbr.withColumn("rn", F.row_number().over(w))
+            .select("vertex", F.least(F.col("rn").cast("long"), F.col("nbr_core")).alias("h"))
+            .groupBy("vertex")
+            .agg(F.max("h").alias("new_core"))
+        )
+        return state.join(hidx, "vertex", "left").select(
+            "vertex", F.least("core", F.coalesce("new_core", F.lit(0))).alias("core")
+        )
+
+    def delta_fn(old: DataFrame, new: DataFrame) -> float:
+        o = old.withColumnRenamed("core", "old_core")
+        return float(new.join(o, "vertex").where(F.col("core") != F.col("old_core")).count())
+
+    run = supersteps.iterate(
+        spark,
+        init,
+        step,
+        max_iterations=max_iterations,
+        delta_fn=delta_fn,
+        tolerance=0.0,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return run.state
+
+
+def orient_by_core(canonical: DataFrame, cores: DataFrame) -> DataFrame:
+    """Orient each edge by (core, degree, id) lexicographic — the peel
+    orientation: low-priority endpoint -> high-priority endpoint."""
+    deg = prep.degrees(canonical)
+    attrs = cores.join(deg, "vertex").select("vertex", "core", "degree")
+    a_src = attrs.select(
+        F.col("vertex").alias("src"), F.col("core").alias("core_s"), F.col("degree").alias("deg_s")
+    )
+    a_dst = attrs.select(
+        F.col("vertex").alias("dst"), F.col("core").alias("core_d"), F.col("degree").alias("deg_d")
+    )
+    joined = canonical.join(a_src, "src").join(a_dst, "dst")
+    keep = (
+        (F.col("core_s") < F.col("core_d"))
+        | ((F.col("core_s") == F.col("core_d")) & (F.col("deg_s") < F.col("deg_d")))
+        | (
+            (F.col("core_s") == F.col("core_d"))
+            & (F.col("deg_s") == F.col("deg_d"))
+            & (F.col("src") < F.col("dst"))
+        )
+    )
+    return joined.select(
+        F.when(keep, F.col("src")).otherwise(F.col("dst")).alias("src"),
+        F.when(keep, F.col("dst")).otherwise(F.col("src")).alias("dst"),
+    )

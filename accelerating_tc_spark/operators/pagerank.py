@@ -1,0 +1,124 @@
+"""PageRank as checkpointed DataFrame supersteps (north-star addition).
+
+Runs on the symmetrized edge table (undirected graphs have no dangling
+vertices among the vertex set, since every vertex present has out-degree
+>= 1). Contribution join is a shuffle on src; rank update is a groupBy(dst)
+partial+final agg. Both reuse the same hash partitioning, and the vertex
+and out-degree tables are computed once outside the loop.
+
+Deterministic fixed-iteration mode exists so the unrolled-SQL DuckDB oracle
+matches bit-for-bit after 6-decimal rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import prep, supersteps
+
+DAMPING = 0.85
+
+
+def _vertices(sym: DataFrame) -> DataFrame:
+    return sym.select(F.col("src").alias("vertex")).distinct()
+
+
+def pagerank(
+    spark: SparkSession,
+    canonical: DataFrame,
+    n_iterations: int = 10,
+    damping: float = DAMPING,
+    tolerance: float | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(vertex, rank) after n_iterations (or earlier L1 convergence if
+    `tolerance` is set). Ranks sum to 1 over the vertex set."""
+    sym = prep.symmetrize(canonical)
+    verts = _vertices(sym).cache()
+    n = verts.count()
+    out_deg = sym.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    # (src, dst, out_degree) fixed for all rounds — computed once, cached.
+    edges_od = sym.join(out_deg, sym["src"] == out_deg["vertex"]).select(
+        "src", "dst", "out_degree"
+    ).cache()
+    edges_od.count()
+
+    init = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        contrib = (
+            edges_od.join(state, edges_od["src"] == state["vertex"])
+            .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("out_degree")).alias("c"))
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        return verts.join(contrib, "vertex", "left").select(
+            "vertex",
+            (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias("rank"),
+        )
+
+    delta_fn = None
+    if tolerance is not None:
+        def delta_fn(old: DataFrame, new: DataFrame) -> float:  # noqa: F811
+            o = old.withColumnRenamed("rank", "rank_old")
+            return (
+                new.join(o, "vertex")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("rank_old"))).alias("d"))
+                .collect()[0]["d"]
+            )
+
+    run = supersteps.iterate(
+        spark,
+        init,
+        step,
+        max_iterations=n_iterations,
+        delta_fn=delta_fn,
+        tolerance=tolerance or 0.0,
+        checkpoint_dir=checkpoint_dir,
+    )
+    return run.state
+
+
+def pagerank_oracle_sql(edges_cte: str, n_iterations: int = 10, damping: float = DAMPING) -> str:
+    """Unrolled ANSI-SQL PageRank over the same graph, for the DuckDB oracle.
+
+    `edges_cte` must define a CTE `edges(src, dst)` with canonical src<dst
+    rows (it is symmetrized here). Output: (vertex, rank) rounded to 6dp.
+    """
+    parts = [
+        edges_cte,
+        """
+, sym AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+)
+, verts AS (SELECT DISTINCT src AS vertex FROM sym)
+, n AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)
+, od AS (SELECT src AS vertex, COUNT(*)::DOUBLE AS out_degree FROM sym GROUP BY src)
+, pr0 AS (SELECT vertex, 1.0 / (SELECT n FROM n) AS rank FROM verts)
+""",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"""
+, pr{i} AS (
+  SELECT v.vertex,
+         (1.0 - {damping}) / (SELECT n FROM n)
+         + {damping} * COALESCE(c.contrib, 0.0) AS rank
+  FROM verts v
+  LEFT JOIN (
+    SELECT e.dst AS vertex, SUM(p.rank / o.out_degree) AS contrib
+    FROM sym e
+    JOIN pr{i - 1} p ON p.vertex = e.src
+    JOIN od o ON o.vertex = e.src
+    GROUP BY e.dst
+  ) c ON c.vertex = v.vertex
+)"""
+        )
+    parts.append(f"\nSELECT vertex, ROUND(rank, 6) AS rank FROM pr{n_iterations} ORDER BY vertex")
+    return "".join(parts)

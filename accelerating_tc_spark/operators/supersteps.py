@@ -1,0 +1,148 @@
+"""Checkpointed, resumable iterative supersteps — the engine's iteration spine.
+
+Generalizes the reference's A-direction peeling loop (frontier rounds of
+degree updates, edge_directing/A-direction.cpp:84-146; SURVEY.md G2) into a
+reusable `iterate()` that PageRank / connected components / label
+propagation / k-core all share.
+
+Scale/correctness posture:
+- every superstep's state is persisted (parquet dir per iteration — the
+  sandbox stand-in for an Iceberg snapshot; the write is atomic via Spark's
+  _SUCCESS marker) so any run is resumable mid-iteration,
+- a `lineage` metrics file records per-iteration row counts, per-partition
+  row distribution (spark_partition_id), wall time, and the convergence
+  delta — the "per-partition lineage + metrics" of the north rule,
+- lineage is CUT every round (reload from the checkpoint we just wrote, or
+  localCheckpoint when unpersisted) so Catalyst plans don't grow with the
+  iteration count — the classic iterative-Spark failure mode.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class IterationMetrics:
+    iteration: int
+    rows: int
+    n_partitions: int
+    partition_rows: dict[str, int]
+    wall_s: float
+    delta: float | None
+
+
+@dataclass
+class SuperstepRun:
+    state: DataFrame
+    iterations: int
+    converged: bool
+    metrics: list[IterationMetrics] = field(default_factory=list)
+
+
+def _partition_histogram(df: DataFrame) -> dict[str, int]:
+    rows = (
+        df.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {str(r["pid"]): r["n"] for r in rows}
+
+
+def _iter_dir(checkpoint_dir: str, i: int) -> str:
+    return os.path.join(checkpoint_dir, f"iter={i:05d}")
+
+
+def _is_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def latest_checkpoint(checkpoint_dir: str) -> int | None:
+    """Highest completed iteration in a checkpoint dir, or None."""
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None
+    done = []
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("iter=") and _is_complete(os.path.join(checkpoint_dir, name)):
+            done.append(int(name.split("=")[1]))
+    return max(done) if done else None
+
+
+def iterate(
+    spark: SparkSession,
+    initial: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_iterations: int,
+    delta_fn: Callable[[DataFrame, DataFrame], float] | None = None,
+    tolerance: float = 0.0,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = True,
+) -> SuperstepRun:
+    """Run `state <- step(state, i)` with checkpointing, lineage metrics, resume.
+
+    - `delta_fn(old, new) -> float`: convergence measure; iteration stops when
+      it is <= tolerance. None -> always run max_iterations (deterministic
+      fixed-round mode, used when an unrolled SQL oracle must match).
+    - `checkpoint_dir`: parquet snapshot per kept iteration + lineage.jsonl.
+      With resume=True a rerun continues from the latest complete snapshot.
+    """
+    metrics: list[IterationMetrics] = []
+    start_iter = 0
+    state = initial
+
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        last = latest_checkpoint(checkpoint_dir) if resume else None
+        if last is not None:
+            state = spark.read.parquet(_iter_dir(checkpoint_dir, last))
+            start_iter = last + 1
+
+    converged = False
+    lineage_path = os.path.join(checkpoint_dir, "lineage.jsonl") if checkpoint_dir else None
+
+    for i in range(start_iter, max_iterations):
+        t0 = time.time()
+        new_state = step(state, i)
+
+        if checkpoint_dir and (i % checkpoint_every == 0 or i == max_iterations - 1):
+            out = _iter_dir(checkpoint_dir, i)
+            tmp = out + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            new_state.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(out):
+                shutil.rmtree(out)
+            os.rename(tmp, out)
+            persisted = spark.read.parquet(out)  # lineage cut: read back the snapshot
+        else:
+            persisted = new_state.localCheckpoint(eager=True)
+
+        delta = delta_fn(state, persisted) if delta_fn is not None else None
+        m = IterationMetrics(
+            iteration=i,
+            rows=persisted.count(),
+            n_partitions=persisted.rdd.getNumPartitions(),
+            partition_rows=_partition_histogram(persisted),
+            wall_s=round(time.time() - t0, 3),
+            delta=delta,
+        )
+        metrics.append(m)
+        if lineage_path:
+            with open(lineage_path, "a") as fh:
+                fh.write(json.dumps(m.__dict__) + "\n")
+
+        state = persisted
+        if delta is not None and delta <= tolerance:
+            converged = True
+            break
+
+    return SuperstepRun(state=state, iterations=len(metrics) + start_iter, converged=converged, metrics=metrics)

@@ -1,0 +1,181 @@
+"""PageRank / CC / LP / k-core vs independent pure-python+numpy oracles,
+plus checkpoint/resume of the superstep spine (north-rule requirements)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from accelerating_tc_spark.operators import (
+    components,
+    kcore,
+    labelprop,
+    pagerank,
+    prep,
+)
+from accelerating_tc_spark.sources import synthetic
+
+
+def _clean_pairs(pairs) -> list[tuple[int, int]]:
+    seen = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        seen.add((min(a, b), max(a, b)))
+    return sorted(seen)
+
+
+def numpy_pagerank(pairs, n_iter=10, d=0.85) -> dict[int, float]:
+    edges = _clean_pairs(pairs)
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    deg = np.zeros(n)
+    for a, b in edges:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    rank = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for a, b in edges:
+            contrib[idx[b]] += rank[idx[a]] / deg[idx[a]]
+            contrib[idx[a]] += rank[idx[b]] / deg[idx[b]]
+        rank = (1 - d) / n + d * contrib
+    return {v: rank[idx[v]] for v in verts}
+
+
+def python_components(pairs) -> dict[int, int]:
+    edges = _clean_pairs(pairs)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def python_label_prop(pairs, n_iter=5) -> dict[int, int]:
+    edges = _clean_pairs(pairs)
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    label = {v: v for v in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for v in nbrs:
+            counts: dict[int, int] = {}
+            for u in nbrs[v]:
+                counts[label[u]] = counts.get(label[u], 0) + 1
+            best = min(counts, key=lambda l: (-counts[l], l))
+            new[v] = best
+        label = new
+    return label
+
+
+def python_core_numbers(pairs) -> dict[int, int]:
+    edges = _clean_pairs(pairs)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbrs.items()}
+    core: dict[int, int] = {}
+    remaining = set(nbrs)
+    k = 0
+    while remaining:
+        v = min(remaining, key=lambda x: (deg[x], x))
+        k = max(k, deg[v])
+        core[v] = k
+        remaining.remove(v)
+        for u in nbrs[v]:
+            if u in remaining:
+                deg[u] -= 1
+                nbrs[u].discard(v)
+    return core
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    pairs = synthetic.powerlaw_edge_pairs(120, 500, seed=11).tolist()
+    # add two extra disjoint blobs so CC has >1 component
+    pairs += [(500, 501), (501, 502), (500, 502), (600, 601)]
+    edges = synthetic.edges_df(spark, pairs)
+    return pairs, prep.canonicalize_edges(edges)
+
+
+def test_pagerank_matches_numpy(spark, graph):
+    pairs, canonical = graph
+    got = {r["vertex"]: r["rank"] for r in pagerank.pagerank(spark, canonical, n_iterations=10).collect()}
+    expected = numpy_pagerank(pairs, n_iter=10)
+    assert set(got) == set(expected)
+    for v in expected:
+        assert abs(got[v] - expected[v]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_connected_components_exact(spark, graph):
+    pairs, canonical = graph
+    got = {
+        r["vertex"]: r["component"]
+        for r in components.connected_components(spark, canonical).collect()
+    }
+    assert got == python_components(pairs)
+
+
+def test_label_propagation_matches_python(spark, graph):
+    pairs, canonical = graph
+    got = {
+        r["vertex"]: r["label"]
+        for r in labelprop.label_propagation(spark, canonical, n_iterations=5).collect()
+    }
+    assert got == python_label_prop(pairs, n_iter=5)
+
+
+def test_core_numbers_exact(spark, graph):
+    pairs, canonical = graph
+    got = {r["vertex"]: r["core"] for r in kcore.core_numbers(spark, canonical).collect()}
+    expected = python_core_numbers(pairs)
+    assert got == expected
+
+
+def test_orient_by_core_preserves_edges_and_counts(spark, graph):
+    from accelerating_tc_spark.operators import triangles
+
+    pairs, canonical = graph
+    cores = kcore.core_numbers(spark, canonical)
+    oriented = kcore.orient_by_core(canonical, cores)
+    assert oriented.count() == canonical.count()
+    got = triangles.triangle_count_kernel(oriented).collect()[0]["triangles"]
+    expected = synthetic.numpy_triangle_count(pairs)
+    assert got == expected
+
+
+def test_pagerank_checkpoint_resume(spark, graph, tmp_path):
+    pairs, canonical = graph
+    ckpt = str(tmp_path / "pr_ckpt")
+    # interrupted run: only 4 iterations
+    pagerank.pagerank(spark, canonical, n_iterations=4, checkpoint_dir=ckpt)
+    from accelerating_tc_spark.operators.supersteps import latest_checkpoint
+
+    assert latest_checkpoint(ckpt) == 3
+    # resumed run continues from iter 3 to 10
+    resumed = pagerank.pagerank(spark, canonical, n_iterations=10, checkpoint_dir=ckpt)
+    fresh = pagerank.pagerank(spark, canonical, n_iterations=10)
+    r = {x["vertex"]: x["rank"] for x in resumed.collect()}
+    f = {x["vertex"]: x["rank"] for x in fresh.collect()}
+    assert set(r) == set(f)
+    for v in f:
+        assert abs(r[v] - f[v]) < 1e-12
+    # lineage metrics recorded per iteration
+    lineage = (tmp_path / "pr_ckpt" / "lineage.jsonl").read_text().strip().splitlines()
+    assert len(lineage) >= 10
