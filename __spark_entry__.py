@@ -130,6 +130,18 @@ def _q_orientation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-extraction front end (input_hint): deterministic synthetic web
+    corpus -> normalized links -> dense-ID canonical edge table. Rows-only
+    check here; byte-identical text + link-structure invariants are pinned
+    in tests/test_pages.py."""
+    from accelerating_tc_spark.sources import pages as P
+
+    corpus = P.generate_pages(spark, n_sites=10, pages_per_site=10)
+    edges, _mapping = P.pages_to_edges(corpus)
+    return edges.orderBy("src", "dst")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -145,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
         "orientation_balance": _q_orientation_balance,
+        "web_edges": _q_web_edges,
     }
 
 

@@ -35,13 +35,10 @@ def _concat_ragged(arrs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = len(arrs)
     lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n)
     total = int(lens.sum())
-    flat = np.empty(total, dtype=np.int64)
-    pos = 0
-    for a in arrs:
-        m = len(a)
-        if m:
-            flat[pos : pos + m] = a
-        pos += m
+    if total == 0:
+        flat = np.empty(0, dtype=np.int64)
+    else:
+        flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs])
     row_ids = np.repeat(np.arange(n, dtype=np.int64), lens)
     return flat, row_ids, lens
 

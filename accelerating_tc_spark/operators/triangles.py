@@ -26,8 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+from ..functions.csr import CsrShard, intersect_count_csr
 from ..functions.intersect import intersect_count_pairs
-from ..plans.blocking import replicate_adjacency, tag_edge_blocks
+from ..plans.blocking import replicate_adjacency_flat, tag_edge_blocks
 from . import prep
 
 
@@ -94,29 +95,26 @@ def triangle_count_blocked(oriented: DataFrame, n_blocks: int = 8) -> DataFrame:
     """Bounded-shuffle block-pair triangle count (the at-scale strategy).
 
     Vertices hash into n_blocks; each cogrouped task receives the edges of
-    one (bu, bv) block pair plus exactly the two adjacency shards it needs,
-    builds a local hash-of-arrays 'CSR' with numpy, and runs the batch
-    merge kernel. Shuffle volume: |edges| + 2·n_blocks·|adj| — independent
-    of the wedge count, unlike the per-edge array join. n_blocks is the
-    `cal_part_num` analog: pick it so 2/n_blocks of the adjacency fits a
-    task (reference tricount_gpu.cu:103-115).
+    one (bu, bv) block pair plus exactly the two adjacency shards it needs
+    as FLAT (vertex, nbr) int64 rows (columnar end-to-end), rebuilds the
+    shard CSR with one numpy lexsort, and runs the batch merge kernel.
+    Shuffle volume: |edges| + 2·n_blocks·|edges| — independent of the wedge
+    count, unlike the per-edge array join, and every task's working set is
+    ~2/n_blocks of the adjacency. n_blocks is the `cal_part_num` analog
+    (reference tricount_gpu.cu:103-115): grow it with data size so a shard
+    pair always fits an executor.
     """
-    adj = prep.adjacency(oriented)
     edges_b = tag_edge_blocks(oriented, n_blocks)
-    adj_rep = replicate_adjacency(adj, n_blocks)
+    adj_rep = replicate_adjacency_flat(oriented, n_blocks)
 
     def count_pair(key, edges_pdf: pd.DataFrame, adj_pdf: pd.DataFrame) -> pd.DataFrame:
         if edges_pdf.empty or adj_pdf.empty:
             return pd.DataFrame({"triangles": [0]})
-        shard = {
-            int(v): np.asarray(nbrs, dtype=np.int64)
-            for v, nbrs in zip(adj_pdf["vertex"].to_numpy(), adj_pdf["nbrs"])
-        }
-        empty = np.empty(0, dtype=np.int64)
-        a_sets = [shard.get(int(u), empty) for u in edges_pdf["src"].to_numpy()]
-        b_sets = [shard.get(int(v), empty) for v in edges_pdf["dst"].to_numpy()]
-        total = int(intersect_count_pairs(a_sets, b_sets).sum())
-        return pd.DataFrame({"triangles": [total]})
+        shard = CsrShard.from_flat(adj_pdf["vertex"].to_numpy(), adj_pdf["nbr"].to_numpy())
+        counts = intersect_count_csr(
+            shard, edges_pdf["src"].to_numpy(), edges_pdf["dst"].to_numpy()
+        )
+        return pd.DataFrame({"triangles": [int(counts.sum())]})
 
     partials = (
         edges_b.groupBy("bu", "bv")

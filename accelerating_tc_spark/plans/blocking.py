@@ -57,6 +57,25 @@ def replicate_adjacency(adj: DataFrame, n_blocks: int) -> DataFrame:
     return as_u.union(as_v).dropDuplicates(["bu", "bv", "vertex"])
 
 
+def replicate_adjacency_flat(oriented: DataFrame, n_blocks: int) -> DataFrame:
+    """FLAT adjacency replication: (vertex, nbr) int64 rows instead of array
+    rows — the whole exchange stays columnar/JVM-side and the per-pair CSR is
+    rebuilt with numpy sorts (zero per-row Python; input_hint invariant).
+
+    A row owned by a vertex in block b is shipped to pairs (b, *) as the
+    u-side shard and (*, b) as the v-side shard; the diagonal (b, b) is
+    emitted once (v-side skips bu == b) so no distinct is needed.
+    """
+    blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    base = oriented.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
+    b = block_of("vertex", n_blocks)
+    as_u = base.select("vertex", "nbr", b.alias("bu"), F.explode(blocks).alias("bv"))
+    as_v = base.select("vertex", "nbr", F.explode(blocks).alias("bu"), b.alias("bv")).where(
+        F.col("bu") != F.col("bv")
+    )
+    return as_u.union(as_v)
+
+
 def edge_workload(oriented: DataFrame, out_deg: DataFrame) -> DataFrame:
     """Per-edge work estimate (da + db - max)·log2(max + 2), reference Fox/tc.cu:18-33."""
     od_u = out_deg.withColumnRenamed("vertex", "src").withColumnRenamed("out_degree", "od_u")

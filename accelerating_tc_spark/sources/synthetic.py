@@ -75,6 +75,47 @@ def hub_edges(spark: SparkSession, n_vertices: int = 200, seed: int = 42) -> Dat
     return edges_df(spark, pairs)
 
 
+# ---- distributed deterministic Zipf generator (bench-scale inputs) ----
+
+def zipf_edges_distributed(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    s: float = 1.0,
+) -> DataFrame:
+    """Seeded power-law edge table generated ON THE CLUSTER (no driver data).
+
+    Each endpoint is drawn Zipf(s≈1)-like via inverse-CDF over a uniform
+    derived from xxhash64(edge_id, seed) — deterministic for any partitioning
+    and any parallelism, so two runs at different core counts see the SAME
+    graph. Used by bench --scaling, where the input must be big enough that
+    compute dominates scheduling overhead.
+    """
+    from pyspark.sql import functions as F
+
+    partitions = partitions or spark.sparkContext.defaultParallelism
+    ids = spark.range(0, n_edges, 1, partitions)
+
+    def uniform(salt: int):
+        h = F.xxhash64(F.col("id"), F.lit(seed), F.lit(salt))
+        return (F.pmod(h, F.lit(1 << 30)).cast("double") + 0.5) / float(1 << 30)
+
+    def zipf_vertex(u):
+        # inverse CDF of P(v) ~ (v+1)^(-s); s=1 uses the log form.
+        if abs(s - 1.0) < 1e-9:
+            return F.floor(F.pow(F.lit(float(n_vertices + 1)), u) - 1).cast("long")
+        p = 1.0 - s
+        scale = float((n_vertices + 1) ** p - 1.0)
+        return F.floor(F.pow(u * F.lit(scale) + F.lit(1.0), F.lit(1.0 / p)) - 1).cast("long")
+
+    return ids.select(
+        zipf_vertex(uniform(1)).alias("src"),
+        zipf_vertex(uniform(2)).alias("dst"),
+    )
+
+
 # ---- numpy triangle-count oracle for small graphs (no external libs) ----
 
 def numpy_triangle_count(pairs) -> int:

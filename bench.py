@@ -1,0 +1,190 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+--scaling: run the flagship triangle-count job at two parallelism levels
+(N=8 and 4N=32 cores by default) on the same input and report throughput at
+both plus scaling efficiency — the sandbox translation of the north rule's
+two-cluster-size criterion (see BASELINE.md). Results are appended to
+BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# local mode = one JVM: size the (driver) heap for 32 executor threads or
+# GC contention throttles the high-parallelism runs.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def build_graph(spark, sf_dir):
+    from accelerating_tc_spark.operators import prep
+    from accelerating_tc_spark.sources import tpch_graph
+
+    canonical = prep.canonicalize_edges(tpch_graph.copurchase_edges(spark, sf_dir))
+    canonical = canonical.repartition(spark.sparkContext.defaultParallelism, "src").cache()
+    n_edges = canonical.count()  # materialize once; graph build excluded from per-query times
+    return canonical, n_edges
+
+
+def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import (
+        components,
+        labelprop,
+        pagerank,
+        prep,
+        triangles,
+    )
+
+    canonical, n_edges = build_graph(spark, sf_dir)
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    oriented = prep.orient_by_degree(canonical).cache()
+    timed("orient", lambda: oriented.count())
+
+    tri = timed(
+        "tc_blocked",
+        lambda: triangles.triangle_count_blocked(oriented, n_blocks=16).collect()[0]["triangles"],
+    )
+    timed(
+        "tc_array_intersect",
+        lambda: triangles.triangle_count_array_intersect(oriented).collect()[0]["triangles"],
+    )
+    timed("pagerank10", lambda: pagerank.pagerank(spark, canonical, n_iterations=10).count())
+    timed("connected_components", lambda: components.connected_components(spark, canonical).count())
+    timed("label_propagation5", lambda: labelprop.label_propagation(spark, canonical, n_iterations=5).count())
+    timed(
+        "degree_histogram",
+        lambda: prep.degree_histogram(canonical).agg(F.sum("n_vertices")).collect(),
+    )
+
+    extras["n_edges"] = n_edges
+    extras["triangles"] = tri
+    extras["triangles_per_sec"] = round(tri / times["tc_blocked"], 1) if times["tc_blocked"] else 0
+    return times, extras
+
+
+def main() -> None:
+    from accelerating_tc_spark.session import get_spark
+
+    if "--scaling-single" in sys.argv:
+        return scaling_single(int(sys.argv[sys.argv.index("--scaling-single") + 1]))
+    if "--scaling" in sys.argv:
+        return run_scaling()
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    t0 = time.time()
+    times, extras = run_headline(spark, SF_DIR)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_label(SF_DIR),
+                "extras": extras,
+            }
+        )
+    )
+
+
+# Scaling input: deterministic distributed Zipf graph, big enough that
+# compute dominates scheduling overhead (the sf0.1 co-purchase graph is ~6s
+# of work and can't amortize 32-way startup costs).
+SCALE_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALE_V", str(3_000_000)))
+SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_E", str(12_000_000)))
+
+
+def scaling_single(cores: int) -> None:
+    """One measurement at a given core count (run in a fresh process so JVMs
+    never share state across levels)."""
+    from accelerating_tc_spark.operators import prep, triangles
+    from accelerating_tc_spark.session import get_spark
+    from accelerating_tc_spark.sources import synthetic
+
+    spark = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=cores)
+    raw = synthetic.zipf_edges_distributed(spark, SCALE_VERTICES, SCALE_EDGES, s=0.75)
+    canonical = prep.canonicalize_edges(raw).cache()
+    n_edges = canonical.count()
+    oriented = prep.orient_by_degree(canonical).cache()
+    oriented.count()
+    # Same job at both levels: n_blocks fixed so only parallelism varies.
+    t0 = time.time()
+    tri = triangles.triangle_count_blocked(oriented, n_blocks=16).collect()[0]["triangles"]
+    dt = time.time() - t0
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "sec": round(dt, 3),
+                "triangles": tri,
+                "triangles_per_sec": round(tri / dt, 1),
+                "n_edges": n_edges,
+            }
+        )
+    )
+
+
+def run_scaling() -> None:
+    """Same TC job at N and 4N cores; efficiency = (T_N / T_4N) / 4."""
+    import subprocess
+
+    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    n_big = 4 * n_small
+    results = {}
+    for cores in (n_small, n_big):
+        out = subprocess.run(
+            [sys.executable, __file__, "--scaling-single", str(cores)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+    eff = (results[n_small]["sec"] / results[n_big]["sec"]) / (n_big / n_small)
+    out = {
+        "metric": "tc_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {f"tc_blocked_local[{c}]": r["sec"] for c, r in results.items()},
+        "sf": _sf_label(SF_DIR),
+        "detail": results,
+        "parity": results[n_small]["triangles"] == results[n_big]["triangles"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Edge-extraction front end: URL normalization, link extraction,
+byte-identical text invariant, dense-ID edge table (input_hint)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from accelerating_tc_spark.sources import pages as P
+
+
+def test_normalize_url(spark):
+    cases = {
+        "HTTP://Example.COM/Path#frag": "http://example.com/Path",
+        "https://example.com:443/a/": "https://example.com/a",
+        "http://example.com:80": "http://example.com/",
+        "http://example.com": "http://example.com/",
+        "http://example.com/a/b/": "http://example.com/a/b",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "u string")
+    got = {r["u"]: r["n"] for r in df.select("u", P.normalize_url("u").alias("n")).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_resolve_relative():
+    base = "http://site0.example/a/b"
+    assert P._resolve(base, "/p0") == "http://site0.example/p0"
+    assert P._resolve(base, "c") == "http://site0.example/a/c"
+    assert P._resolve(base, "../x") == "http://site0.example/x"
+    assert P._resolve(base, "//other.example/y") == "http://other.example/y"
+    assert P._resolve(base, "#frag") is None
+    assert P._resolve(base, "mailto:a@b") is None
+    assert P._resolve(base, "https://abs.example/z") == "https://abs.example/z"
+
+
+def test_extract_text_golden():
+    html = pd.Series(
+        [
+            b"<html><head><script>var x=1;</script></head>"
+            b"<body><h1>Hi</h1><p>A &amp; B</p></body></html>",
+            b"<p>  spaced   out  </p>",
+            None,
+        ]
+    )
+    got = P.extract_text_series(html).tolist()
+    assert got == ["Hi A & B", "spaced out", ""]
+    # byte-identical invariant: pin the sha256 of the first extraction
+    assert hashlib.sha256(got[0].encode()).hexdigest() == (
+        "21317be1e72a03f56de43aca29ea5e29916a1373319a8091456efb5a6c951798"
+    )
+
+
+def test_corpus_text_matches_extractor(spark):
+    pages = P.generate_pages(spark, n_sites=3, pages_per_site=3)
+    ext = P.extract_text(pages).withColumnRenamed("text", "text2")
+    joined = pages.select("url", "text").join(ext, "url")
+    mismatches = joined.where(joined["text"] != joined["text2"]).count()
+    assert mismatches == 0
+
+
+def test_known_link_structure(spark):
+    pages = P.generate_pages(spark, n_sites=2, pages_per_site=2, seed=1)
+    links = P.extract_links(pages)
+    got = {(r["src_url"], r["dst_url"]) for r in links.collect()}
+    # p0 -> p1 (next), p1 -> p0 (next wraps + root), cross-site p0 links
+    assert ("http://site0.example/p0", "http://site0.example/p1") in got
+    assert ("http://site0.example/p1", "http://site0.example/p0") in got
+    assert ("http://site0.example/p0", "http://site1.example/p0") in got
+    assert ("http://site1.example/p0", "http://site0.example/p0") in got
+    # no self links, no fragment links
+    assert all(s != d for s, d in got)
+
+
+def test_pages_to_edges_dense_ids(spark):
+    pages = P.generate_pages(spark, n_sites=3, pages_per_site=4, seed=2)
+    edges, mapping = P.pages_to_edges(pages)
+    n_urls = mapping.count()
+    ids = sorted(r["vertex_id"] for r in mapping.collect())
+    assert ids == list(range(n_urls))
+    rows = edges.collect()
+    assert all(r["src"] < r["dst"] for r in rows)
+    assert len(rows) == len({(r["src"], r["dst"]) for r in rows})
+    # the extracted graph feeds the engine end-to-end
+    from accelerating_tc_spark.operators import triangles
+
+    tri = triangles.count_triangles(edges, strategy="kernel").collect()[0]["triangles"]
+    assert tri >= 0
