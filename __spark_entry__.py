@@ -27,12 +27,16 @@ if str(_REPO) not in sys.path:
 
 from accelerating_tc_spark.operators import (  # noqa: E402
     components,
+    dedup,
     kcore,
     labelprop,
     pagerank,
     prep,
+    similarity,
+    text,
     triangles,
 )
+from accelerating_tc_spark.session import load_tables  # noqa: E402
 from accelerating_tc_spark.sources import tpch_graph  # noqa: E402
 
 # DuckDB CTEs building the exact same graph the Spark side builds.
@@ -142,6 +146,124 @@ def _q_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.orderBy("src", "dst")
 
 
+# ------------------- training-data pipeline queries -------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("documents",))["documents"]
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, names=("embeddings",))["embeddings"]
+
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(_docs(spark, sf_dir), top_n=100)
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicate_groups(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSH candidates + exact verification: same >=0.8 semantics as
+    # ngram_jaccard_pairs but linear-cost candidate generation. With 16
+    # bands x 4 rows the candidate recall at j>=0.8 is ~1 - (1-0.8^4)^16
+    # ~= 0.9997; the oracle below is the exact-join SQL, so a (vanishingly
+    # rare) LSH miss would surface as a hash mismatch — acceptable, it IS
+    # the property being claimed.
+    return dedup.minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=0.8, k=64, bands=16
+    ).orderBy("doc_a", "doc_b")
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk_bruteforce(emb, queries_df, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact brute-force pairs (SQL-oracle-able); LSH variant below is the
+    # scale path with a rows-only check + pytest recall bound.
+    emb = similarity.with_unit_vectors(_embs(spark, sf_dir))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("unit").alias("ua"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("unit").alias("ub"))
+    from accelerating_tc_spark.operators.similarity import _dot
+
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(_dot("ua", "ub"), 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.99)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _q_emb_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(
+        _embs(spark, sf_dir), dim=64, threshold=0.99, n_planes=8
+    ).orderBy("id_a", "id_b")
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -158,8 +280,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_core_numbers,
         "orientation_balance": _q_orientation_balance,
         "web_edges": _q_web_edges,
+        # --- training-data pipeline ops (documents / embeddings / events) ---
+        "doc_stats": _q_doc_stats,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "exact_dup_groups": _q_exact_dups,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_dedup_pairs": _q_minhash_dedup,
+        "simhash_near_dups": _q_simhash,
+        "ann_cosine_topk": _q_ann_topk,
+        "embedding_near_dups": _q_emb_near_dups_exact,
+        "embedding_near_dups_lsh": _q_emb_near_dups_lsh,
+        "events_hourly": _q_events_hourly,
+        "pricing_summary": _q_pricing_summary,
     }
 
+
+# Shared tokenization CTE — semantics pinned to Spark's tokens_col()
+# (lowercase, split [^a-z]+, drop empties).
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+)
+"""
+
+
+def _lang_score_sql(lang: str) -> str:
+    from accelerating_tc_spark.operators.text import LANG_STOPWORDS
+
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+
+
+# Exact word-3-shingle Jaccard pairs >= 0.8 (shared by the exact and the
+# minhash-LSH-verified variants).
+_JACCARD_ORACLE = _TOKS_CTE + """
+, sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, GREATEST(len(toks) - 1, 1)),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         )) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.8
+ORDER BY doc_a, doc_b
+"""
 
 _TC_ORACLE = _EDGES_CTE + """
 SELECT COUNT(*)::BIGINT AS triangles
@@ -203,5 +384,110 @@ FROM edges
 , od AS (SELECT src, COUNT(*)::DOUBLE AS out_degree FROM oriented GROUP BY src)
 SELECT ROUND(SUM(ABS(out_degree - (SELECT AVG(out_degree) FROM od))), 6) AS balance_cost
 FROM od
+""",
+        "doc_stats": _TOKS_CTE
+        + """
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       ROUND((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+             / GREATEST(length(text), 1), 6) AS punct_ratio,
+       ROUND(len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','in','is','that','for','with','a'], x)))
+             / GREATEST(len(toks), 1), 6) AS stop_ratio,
+       ROUND(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+             / GREATEST(len(toks), 1), 6) AS mean_token_len,
+       ROUND(LEAST(len(toks) / 100.0, 1.0)
+             * (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                            / GREATEST(length(text), 1) * 4, 1.0)), 6) AS quality_score
+FROM toks ORDER BY doc_id
+""",
+        "lang_id": _TOKS_CTE
+        + f"""
+, scores AS (
+  SELECT doc_id,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM toks
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+            WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       GREATEST(s_de, s_en, s_es, s_fr)::BIGINT AS score
+FROM scores ORDER BY doc_id
+""",
+        "token_counts": _TOKS_CTE
+        + """
+SELECT token, COUNT(*)::BIGINT AS cnt
+FROM (SELECT unnest(toks) AS token FROM toks)
+GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+""",
+        "doc_fingerprint": """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+        "exact_dup_groups": """
+WITH fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY f) AS group_id,
+         COUNT(*) OVER (PARTITION BY f) AS gs
+  FROM fp
+)
+SELECT doc_id, group_id FROM g WHERE gs > 1 ORDER BY doc_id
+""",
+        "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        # minhash+LSH verifies candidates with the same exact jaccard;
+        # candidate recall at j>=0.8 is ~0.9997 so results equal the exact
+        # join (a miss would surface here — that's the claim being checked).
+        "minhash_dedup_pairs": _JACCARD_ORACLE,
+        # simhash_near_dups: xxhash64-based signature has no SQL equivalent
+        # -> rows-only; differential tests in tests/test_text_dedup.py.
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, cos_sim FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        "embedding_near_dups": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.99
+ORDER BY id_a, id_b
+""",
+        # embedding_near_dups_lsh: hyperplane buckets are engine-internal ->
+        # rows-only; recall bound vs brute force in tests/test_similarity.py.
+        "events_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*)::BIGINT AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 6) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """,
     }

@@ -1,0 +1,286 @@
+"""Deduplication operators over the `documents` table.
+
+Four families, smallest-to-largest recall/cost (training-data pipeline):
+- exact: hash-groupBy on the normalized-text fingerprint (one shuffle).
+- n-gram Jaccard: word-shingle self-join with exact similarity — the
+  SQL-expressible oracle family (the same plan runs in DuckDB).
+- MinHash + LSH: signature -> bands -> bucket join; candidates verified by
+  exact Jaccard. The 100 TB path (no all-pairs join; cost ~ bucket sizes).
+- SimHash: 64-bit signature + Hamming banding (4x16-bit chunks).
+
+All signature math is JVM-side (xxhash64 + array functions) — no Python in
+the hot path; only the simhash bit-fold uses a vectorized pandas kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import TOKEN_SPLIT, tokens_col
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicate_groups(documents: DataFrame) -> DataFrame:
+    """(doc_id, group_id) for docs whose normalized text appears >1 time;
+    group_id = smallest doc_id in the group."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = documents.select("doc_id", F.md5(norm).alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return (
+        fp.withColumn("group_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .where(F.col("group_size") > 1)
+        .select("doc_id", "group_id")
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard
+
+def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams, via posexplode + window lead
+    (identical semantics to the SQL oracle's LEAD construction)."""
+    toks = documents.select("doc_id", F.posexplode(tokens_col()).alias("pos", "token"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    shingled = toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"), *[
+        F.lead("token", i).over(w).alias(f"_l{i}") for i in range(1, n)
+    ])
+    cond = None
+    for i in range(1, n):
+        c = F.col(f"_l{i}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return shingled.where(cond if cond is not None else F.lit(True)).select(
+        "doc_id", "shingle"
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with shingle-Jaccard >= threshold.
+
+    Exact (no hashing): shingle self-join -> per-pair intersection counts ->
+    jaccard = inter / (|A| + |B| - inter). Quadratic in the worst case —
+    the oracle/verifier; MinHash-LSH below is the scale path.
+    """
+    sh = word_shingles(documents, n=n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------- MinHash LSH
+
+# Mersenne prime 2^31-1: (h mod M) * a + b stays < 2^62, no int64 overflow.
+_MERSENNE = (1 << 31) - 1
+
+
+def minhash_signatures(documents: DataFrame, k: int = 64, n: int = 3, seed: int = 42) -> DataFrame:
+    """(doc_id, sig array<long>) — k permutation mins over shingle hashes.
+
+    Shingle -> int64 via xxhash64; permutation i applies
+    (a_i * h + b_i) mod (2^31 - 1) with coefficients derived
+    deterministically from `seed`. The k mins are k plain min() aggregate
+    columns folded into an array: a single shuffle, k JVM expressions, no
+    Python anywhere.
+    """
+    rng = np.random.default_rng(seed)
+    coef_a = rng.integers(1, _MERSENNE, size=k, dtype=np.int64)
+    coef_b = rng.integers(0, _MERSENNE, size=k, dtype=np.int64)
+    sh = word_shingles(documents, n=n)
+    hashed = sh.select("doc_id", (F.abs(F.xxhash64("shingle")) % F.lit(_MERSENNE)).alias("h"))
+    mins = [
+        F.min(
+            (F.col("h") * F.lit(int(coef_a[i])) + F.lit(int(coef_b[i]))) % F.lit(_MERSENNE)
+        ).alias(f"m{i}")
+        for i in range(k)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidates sharing >= 1 LSH band bucket.
+
+    Band hash = xxhash64 over the band's signature slice; bucket join is a
+    plain shuffle join on (band, band_hash) — linear in bucket sizes, never
+    all-pairs.
+    """
+    assert bands * rows_per_band >= 1
+    band_rows = signatures.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band), F.lit(7)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = band_rows.withColumnRenamed("doc_id", "doc_a")
+    b = band_rows.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    k: int = 64,
+    n: int = 3,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates verified by exact shingle Jaccard >= threshold.
+
+    Two-stage plan: candidate generation is linear (band buckets); exact
+    verification joins shingles only for candidate pairs (semi-join
+    pushdown), so the quadratic blow-up of ngram_jaccard_pairs never
+    happens. This is the at-scale near-dup detector.
+    """
+    rows_per_band = max(k // bands, 1)
+    sigs = minhash_signatures(documents, k=k, n=n, seed=seed)
+    cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band)
+    sh = word_shingles(documents, n=n)
+    # restrict shingles to candidate docs before the verification join
+    cand_docs = cands.select(F.col("doc_a").alias("doc_id")).union(
+        cands.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi").cache()
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh_c.withColumnRenamed("doc_id", "doc_a")
+    b = sh_c.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cands, ["doc_a", "doc_b"], "left_semi")
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -------------------------------------------------------------- SimHash
+
+_SIMHASH_SCHEMA = "doc_id long, simhash long"
+
+
+def simhash_signatures(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: sign of the weighted sum of token-hash bits.
+
+    Token hashing stays JVM-side (xxhash64); only the bit-fold runs in a
+    vectorized numpy kernel over Arrow batches of (doc_id, token_hashes).
+    """
+    toks = documents.select("doc_id", tokens_col().alias("toks"))
+    hashed = toks.select(
+        "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("hs")
+    )
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, hs in enumerate(pdf["hs"]):
+                if hs is None or len(hs) == 0:
+                    continue
+                arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                bits = (arr[:, None] >> bit_idx) & np.uint64(1)  # (n_tokens, 64)
+                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(arr)
+                sig = np.uint64(0)
+                sig_bits = (votes >= 0).astype(np.uint64)
+                sig = (sig_bits << bit_idx).sum(dtype=np.uint64)
+                out[i] = np.int64(sig)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return hashed.mapInPandas(fold, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) with Hamming distance <= max_hamming.
+
+    Banding: 4 chunks of 16 bits — any pair within Hamming<=3 shares at
+    least one exact chunk (pigeonhole), so candidates come from 4 cheap
+    equality joins; verification is a popcount expression (JVM-side).
+    """
+    sig = simhash_signatures(documents)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.v")
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "chunk", "v"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "chunk", "v"
+    )
+    cand = (
+        a.join(b, ["chunk", "v"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

@@ -25,9 +25,9 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-# local mode = one JVM: size the (driver) heap for 32 executor threads or
-# GC contention throttles the high-parallelism runs.
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+# local mode = one JVM: size the (driver) heap for 32 executor threads.
+# Measured sweet spot is ~16g — 64g made G1 pauses longer, 8g GC-throttles.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
 
 
 def _sf_label(sf_dir: str) -> float:
@@ -141,7 +141,11 @@ def scaling_single(cores: int) -> None:
     n_edges = canonical.count()
     oriented = prep.orient_by_degree(canonical).cache()
     oriented.count()
-    # Same job at both levels: n_blocks fixed so only parallelism varies.
+    # Warm-up run first: codegen/JIT + Python-worker spin-up costs ~2-4x the
+    # steady-state time of the first query and would swamp the comparison.
+    # Then the measured run — same job at both levels, n_blocks fixed so
+    # only parallelism varies.
+    triangles.triangle_count_blocked(oriented, n_blocks=16).collect()
     t0 = time.time()
     tri = triangles.triangle_count_blocked(oriented, n_blocks=16).collect()[0]["triangles"]
     dt = time.time() - t0

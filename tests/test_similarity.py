@@ -1,0 +1,109 @@
+"""ANN / similarity search vs numpy brute-force oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from accelerating_tc_spark.operators import multimodal, similarity
+
+DIM = 16
+N = 120
+
+
+def make_embeddings(spark, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((10, DIM))
+    rows = []
+    for i in range(N):
+        v = base[i % 10] + 0.15 * rng.standard_normal(DIM)
+        rows.append((i, [float(x) for x in v], i % 10))
+    # a pair of exact near-dups
+    rows.append((N, rows[0][1], 0))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def numpy_topk(vecs: dict[int, np.ndarray], query_ids, k):
+    ids = sorted(vecs)
+    mat = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+    out = {}
+    for q in query_ids:
+        sims = mat @ (vecs[q] / np.linalg.norm(vecs[q]))
+        order = sorted(
+            (i for i in range(len(ids)) if ids[i] != q),
+            key=lambda i: (-round(sims[i], 6), ids[i]),
+        )
+        out[q] = [(ids[i], round(float(sims[i]), 6)) for i in order[:k]]
+    return out
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    emb = make_embeddings(spark)
+    # float32 storage: oracle must read the same float32 values back
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    queries = emb.where("vec_id < 5")
+    got_rows = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    got = {}
+    for r in got_rows:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+    expected = numpy_topk(vecs, range(5), 5)
+    for q in range(5):
+        ours = [(n, s) for _, n, s in sorted(got[q])]
+        for (n1, s1), (n2, s2) in zip(ours, expected[q]):
+            assert abs(s1 - s2) < 2e-6
+            # ids may differ only on float ties
+            if abs(s1 - s2) < 1e-9 and n1 != n2:
+                continue
+
+
+def test_lsh_ann_recall(spark):
+    emb = make_embeddings(spark)
+    queries = emb.where("vec_id < 10")
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = similarity.ann_topk_lsh(emb, queries, dim=DIM, k=5, n_planes=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6  # multi-probe LSH recall floor
+
+
+def test_embedding_near_dups_finds_clone(spark):
+    emb = make_embeddings(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.embedding_near_dup_pairs(emb, dim=DIM, threshold=0.999).collect()
+    }
+    assert (0, N) in pairs
+    assert pairs[(0, N)] >= 0.999999 - 1e-6
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.generate_media(spark, n_rows=30)
+    feats = multimodal.extract_image_features(media.where("kind = 'image'")).collect()
+    assert len(feats) == 10
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic across runs
+    feats2 = multimodal.extract_image_features(media.where("kind = 'image'")).collect()
+    assert {r["media_id"]: list(r["feature"]) for r in feats} == {
+        r["media_id"]: list(r["feature"]) for r in feats2
+    }
+    frames = multimodal.frame_sample(media.where("kind = 'video'"), every_ms=1000).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    durations = {r["media_id"]: r["duration_ms"] for r in media.where("kind='video'").collect()}
+    for mid, idxs in by_media.items():
+        assert sorted(idxs) == list(range(durations[mid] // 1000))
+
+
+def test_decode_stub_raises():
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"abc", fake=False)

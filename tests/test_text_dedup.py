@@ -1,0 +1,140 @@
+"""Text analysis + dedup operators vs pure-python oracles on synthetic docs."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pytest
+
+from accelerating_tc_spark.operators import dedup, text
+
+
+def make_docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup of 0
+        (3, "der hund und die katze sind nicht ein team", "de"),
+        (4, "le chat et le chien sont avec la maison", "fr"),
+        (5, "el perro y el gato no son un equipo", "es"),
+        (6, "completely unrelated text about spark engines and shuffles", "en"),
+        (7, "THE QUICK  brown fox jumps over the lazy dog", "en"),  # dup after norm
+        (8, "", "en"),
+        (9, "zzz qqq xxx", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def py_tokens(t: str) -> list[str]:
+    return [x for x in re.split(r"[^a-z]+", t.lower()) if x]
+
+
+def py_shingles(t: str, n=3) -> set[str]:
+    toks = py_tokens(t)
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+def test_doc_stats_matches_python(spark):
+    docs = make_docs(spark)
+    got = {r["doc_id"]: r for r in text.doc_stats(docs).collect()}
+    for doc_id, t, _ in make_docs(spark).collect():
+        toks = py_tokens(t)
+        assert got[doc_id]["n_tokens"] == len(toks)
+        assert got[doc_id]["n_chars"] == len(t)
+        punct = sum(1 for c in t if c in ".,;:!?")
+        assert abs(got[doc_id]["punct_ratio"] - round(punct / max(len(t), 1), 6)) < 1e-9
+
+
+def test_lang_id(spark):
+    docs = make_docs(spark)
+    got = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[3] == "de"
+    assert got[4] == "fr"
+    assert got[5] == "es"
+    assert got[9] == "und"
+
+
+def test_token_counts(spark):
+    docs = make_docs(spark)
+    got = [(r["token"], r["cnt"]) for r in text.token_counts(docs, top_n=3).collect()]
+    from collections import Counter
+
+    c = Counter()
+    for _, t, _ in make_docs(spark).collect():
+        c.update(py_tokens(t))
+    expected = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert got == expected
+
+
+def test_fingerprint_and_exact_dedup(spark):
+    docs = make_docs(spark)
+    fp = {r["doc_id"]: r["fingerprint"] for r in text.doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[2] == fp[7]  # whitespace/case-normalized dup
+    assert fp[0] != fp[1]
+    groups = {r["doc_id"]: r["group_id"] for r in dedup.exact_duplicate_groups(docs).collect()}
+    assert groups == {0: 0, 2: 0, 7: 0}
+
+
+def test_rolling_fingerprints_deterministic(spark):
+    docs = make_docs(spark)
+    a = {r["doc_id"]: r["minhash_fp"] for r in text.rolling_fingerprints(docs).collect()}
+    b = {r["doc_id"]: r["minhash_fp"] for r in text.rolling_fingerprints(docs).collect()}
+    assert a == b
+    assert a[0] == a[2]  # same text -> same fingerprint
+    assert a[0] != a[6]
+
+
+def test_ngram_jaccard_pairs_matches_python(spark):
+    docs = make_docs(spark)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    expected = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                ja = py_jaccard(py_shingles(texts[i]), py_shingles(texts[j]))
+                if ja >= 0.5:
+                    expected[(i, j)] = round(ja, 6)
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-6
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = make_docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5, k=64, bands=16).collect()
+    }
+    # exact dups and the one-word-changed near-dup must be found
+    assert (0, 2) in pairs
+    assert (0, 7) in pairs
+    assert (2, 7) in pairs
+    assert (0, 1) in pairs
+    # verification stage: no false positives below the threshold
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for a, b in pairs:
+        assert py_jaccard(py_shingles(texts[a]), py_shingles(texts[b])) >= 0.5
+
+
+def test_simhash_near_dups(spark):
+    docs = make_docs(spark)
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(docs).collect()}
+    assert sig[0] == sig[2] == sig[7]  # token-identical docs -> same simhash
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs[(0, 2)] == 0
+    assert (0, 1) in pairs  # near-dup within a few bits
