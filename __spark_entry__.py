@@ -28,6 +28,7 @@ if str(_REPO) not in sys.path:
 from accelerating_tc_spark.operators import (  # noqa: E402
     components,
     dedup,
+    kclique,
     kcore,
     labelprop,
     pagerank,
@@ -132,6 +133,27 @@ def _q_orientation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.orientation_balance_cost(oriented).select(
         F.round("balance_cost", 6).alias("balance_cost")
     )
+
+
+def _q_kclique4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic mod-5 sparsification: the full co-purchase graph is so
+    # dense (avg degree ~90) that its 4-clique count is astronomically
+    # large; the sparsified graph keeps the operator honest at sane cost.
+    edges = tpch_graph.copurchase_edges(spark, sf_dir).where(
+        (F.col("src") + F.col("dst")) % 5 == 0
+    )
+    return kclique.kclique_count(edges, k=4)
+
+
+def _q_edge_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total per-edge workload estimate (da+db-max)*log2(max+2) — the
+    Fox-style cost model (reference Fox/tc.cu:18-33) used for equal-work
+    partitioning."""
+    from accelerating_tc_spark.plans.blocking import edge_workload
+
+    oriented = prep.orient_by_degree(_canonical(spark, sf_dir))
+    wl = edge_workload(oriented, prep.out_degrees(oriented))
+    return wl.agg(F.round(F.sum("workload"), 4).alias("total_workload"))
 
 
 def _q_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
         "orientation_balance": _q_orientation_balance,
+        "kclique4": _q_kclique4,
+        "edge_workload_total": _q_edge_workload,
         "web_edges": _q_web_edges,
         # --- training-data pipeline ops (documents / embeddings / events) ---
         "doc_stats": _q_doc_stats,
@@ -296,6 +320,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
     }
 
+
+# mod-5 sparsified co-purchase graph (see _q_kclique4)
+_EDGES_SPARSE_CTE = """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey AND (a.l_partkey + b.l_partkey) % 5 = 0
+)
+"""
 
 # Shared tokenization CTE — semantics pinned to Spark's tokens_col()
 # (lowercase, split [^a-z]+, drop empties).
@@ -384,6 +418,19 @@ FROM edges
 , od AS (SELECT src, COUNT(*)::DOUBLE AS out_degree FROM oriented GROUP BY src)
 SELECT ROUND(SUM(ABS(out_degree - (SELECT AVG(out_degree) FROM od))), 6) AS balance_cost
 FROM od
+""",
+        "kclique4": kclique.kclique_oracle_sql(_EDGES_SPARSE_CTE, 4),
+        "edge_workload_total": _EDGES_DEG_CTE
+        + """
+, od AS (SELECT src AS vertex, COUNT(*) AS out_degree FROM oriented GROUP BY src)
+SELECT ROUND(SUM(
+         (COALESCE(ou.out_degree, 0) + COALESCE(ov.out_degree, 0)
+          - GREATEST(COALESCE(ou.out_degree, 0), COALESCE(ov.out_degree, 0)))
+         * LOG2(GREATEST(COALESCE(ou.out_degree, 0), COALESCE(ov.out_degree, 0)) + 2)
+       ), 4) AS total_workload
+FROM oriented e
+LEFT JOIN od ou ON ou.vertex = e.src
+LEFT JOIN od ov ON ov.vertex = e.dst
 """,
         "doc_stats": _TOKS_CTE
         + """

@@ -14,15 +14,40 @@ import numpy as np
 
 
 class CsrShard:
-    """Sorted-vertex CSR: vertices[], offsets[], flat[] (concatenated sorted
-    neighbor lists)."""
+    """Sorted-vertex CSR with per-row (start, end) spans into a flat value
+    array. Spans need not be contiguous — this lets Arrow list buffers be
+    used zero-copy (values stay in arrival order; only the tiny vertex
+    column is argsorted)."""
 
-    __slots__ = ("vertices", "offsets", "flat")
+    __slots__ = ("vertices", "starts", "ends", "flat")
 
-    def __init__(self, vertices: np.ndarray, offsets: np.ndarray, flat: np.ndarray):
+    def __init__(
+        self, vertices: np.ndarray, starts: np.ndarray, ends: np.ndarray, flat: np.ndarray
+    ):
         self.vertices = vertices
-        self.offsets = offsets
+        self.starts = starts
+        self.ends = ends
         self.flat = flat
+
+    @classmethod
+    def from_arrow_lists(cls, vertices, list_array) -> "CsrShard":
+        """Zero-copy CSR from an Arrow list column: the child values buffer
+        IS the flat array; per-row offsets come from the list buffer; only
+        the vertex ids are argsorted (tiny vs re-sorting the values)."""
+        import pyarrow as pa
+
+        if isinstance(list_array, pa.ChunkedArray):
+            list_array = list_array.combine_chunks()
+        verts = np.asarray(vertices, dtype=np.int64)
+        offs = np.asarray(list_array.offsets)
+        flat = np.asarray(list_array.values, dtype=np.int64)
+        order = np.argsort(verts, kind="stable")
+        return cls(
+            verts[order],
+            offs[:-1][order].astype(np.int64),
+            offs[1:][order].astype(np.int64),
+            flat,
+        )
 
     @classmethod
     def from_flat(cls, owners: np.ndarray, nbrs: np.ndarray) -> "CsrShard":
@@ -34,17 +59,18 @@ class CsrShard:
         if owners.size == 0:
             return cls(
                 np.empty(0, dtype=np.int64),
-                np.zeros(1, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.int64),
             )
         order = np.lexsort((nbrs, owners))
         o_sorted = owners[order]
         flat = nbrs[order]
         vertices, starts = np.unique(o_sorted, return_index=True)
-        offsets = np.empty(len(vertices) + 1, dtype=np.int64)
-        offsets[:-1] = starts
-        offsets[-1] = len(flat)
-        return cls(vertices, offsets, flat)
+        ends = np.empty(len(vertices), dtype=np.int64)
+        ends[:-1] = starts[1:]
+        ends[-1] = len(flat)
+        return cls(vertices, starts.astype(np.int64), ends, flat)
 
     @classmethod
     def from_lists(cls, vertices, nbr_lists) -> "CsrShard":
@@ -53,10 +79,10 @@ class CsrShard:
         v = v[order]
         lists = [np.asarray(nbr_lists[i], dtype=np.int64) for i in order]
         lens = np.fromiter((len(x) for x in lists), dtype=np.int64, count=len(lists))
-        offsets = np.zeros(len(lists) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
+        starts = np.zeros(len(lists), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
         flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
-        return cls(v, offsets, flat.astype(np.int64, copy=False))
+        return cls(v, starts, starts + lens, flat.astype(np.int64, copy=False))
 
     def rows_of(self, keys: np.ndarray) -> np.ndarray:
         """CSR row index per key; -1 for keys absent from the shard."""
@@ -81,8 +107,9 @@ class CsrShard:
                 np.zeros(len(rows), dtype=np.int64),
             )
         present = rows >= 0
-        starts = np.where(present, self.offsets[np.maximum(rows, 0)], 0)
-        ends = np.where(present, self.offsets[np.maximum(rows, 0) + 1], 0)
+        safe = np.maximum(rows, 0)
+        starts = np.where(present, self.starts[safe], 0)
+        ends = np.where(present, self.ends[safe], 0)
         lens = ends - starts
         total = int(lens.sum())
         if total == 0:

@@ -28,7 +28,7 @@ from pyspark.sql.types import LongType, StructField, StructType
 
 from ..functions.csr import CsrShard, intersect_count_csr
 from ..functions.intersect import intersect_count_pairs
-from ..plans.blocking import replicate_adjacency_flat, tag_edge_blocks
+from ..plans.blocking import replicate_adjacency, tag_edge_blocks
 from . import prep
 
 
@@ -104,22 +104,32 @@ def triangle_count_blocked(oriented: DataFrame, n_blocks: int = 8) -> DataFrame:
     (reference tricount_gpu.cu:103-115): grow it with data size so a shard
     pair always fits an executor.
     """
-    edges_b = tag_edge_blocks(oriented, n_blocks)
-    adj_rep = replicate_adjacency_flat(oriented, n_blocks)
+    import pyarrow as pa
 
-    def count_pair(key, edges_pdf: pd.DataFrame, adj_pdf: pd.DataFrame) -> pd.DataFrame:
-        if edges_pdf.empty or adj_pdf.empty:
-            return pd.DataFrame({"triangles": [0]})
-        shard = CsrShard.from_flat(adj_pdf["vertex"].to_numpy(), adj_pdf["nbr"].to_numpy())
-        counts = intersect_count_csr(
-            shard, edges_pdf["src"].to_numpy(), edges_pdf["dst"].to_numpy()
+    edges_b = tag_edge_blocks(oriented, n_blocks)
+    adj = prep.adjacency(oriented)  # per-vertex sorted arrays, built ONCE
+    adj_rep = replicate_adjacency(adj, n_blocks)
+
+    def count_pair(edges_t: "pa.Table", adj_t: "pa.Table") -> "pa.Table":
+        if edges_t.num_rows == 0 or adj_t.num_rows == 0:
+            return pa.table({"triangles": pa.array([0], type=pa.int64())})
+        # zero-copy CSR: Arrow list buffers ARE the flat array + spans;
+        # only the vertex column gets argsorted (no per-pair value re-sort).
+        shard = CsrShard.from_arrow_lists(
+            adj_t.column("vertex").to_numpy(zero_copy_only=False),
+            adj_t.column("nbrs"),
         )
-        return pd.DataFrame({"triangles": [int(counts.sum())]})
+        counts = intersect_count_csr(
+            shard,
+            edges_t.column("src").to_numpy(zero_copy_only=False),
+            edges_t.column("dst").to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"triangles": pa.array([int(counts.sum())], type=pa.int64())})
 
     partials = (
         edges_b.groupBy("bu", "bv")
         .cogroup(adj_rep.groupBy("bu", "bv"))
-        .applyInPandas(count_pair, schema=_COUNT_SCHEMA)
+        .applyInArrow(count_pair, schema=_COUNT_SCHEMA)
     )
     return _as_long_result(partials.agg(F.sum("triangles").alias("triangles")))
 

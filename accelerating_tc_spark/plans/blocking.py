@@ -49,12 +49,12 @@ def replicate_adjacency(adj: DataFrame, n_blocks: int) -> DataFrame:
     as_u = base.select(
         "vertex", "nbrs", block_of("vertex", n_blocks).alias("bu"), F.explode(blocks).alias("bv")
     )
+    # v-side skips the diagonal (already covered by the u-side) so no
+    # distinct is needed.
     as_v = base.select(
         "vertex", "nbrs", F.explode(blocks).alias("bu"), block_of("vertex", n_blocks).alias("bv")
-    )
-    # Diagonal pairs (b, b) would get the same row twice; union-distinct on
-    # the key prevents double inserts into the shard map.
-    return as_u.union(as_v).dropDuplicates(["bu", "bv", "vertex"])
+    ).where(F.col("bu") != F.col("bv"))
+    return as_u.union(as_v)
 
 
 def replicate_adjacency_flat(oriented: DataFrame, n_blocks: int) -> DataFrame:

@@ -1,0 +1,60 @@
+"""Edge-table readers/writers — the reference's format converters, Spark-first.
+
+| Reference tool                         | Here                          |
+|----------------------------------------|-------------------------------|
+| list2bin (text -> binary structs)      | read_edge_text -> write_edges |
+| bin2list (binary -> text)              | read_edges -> write_edge_text |
+| serialize / adjust2tc (id compaction)  | operators.prep.compact_ids    |
+| save_newid (id mapping)                | mapping DataFrame -> parquet  |
+
+Parquet (or Iceberg on a real deployment) replaces the packed-uint64 binary
+format: Spark's columnar scan IS the zero-copy mmap path (reference
+tricore/include/read_file.h:13-57).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EDGE_SCHEMA = "src LONG, dst LONG"
+
+
+def read_edge_text(spark: SparkSession, path: str, sep: str = " ") -> DataFrame:
+    """SNAP-style text edge list: one 'src dst' pair per line; '#' comment
+    lines skipped (reference tools/list2bin.cpp:8-24)."""
+    df = spark.read.csv(path, sep=sep, schema=EDGE_SCHEMA, comment="#")
+    return df.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+
+
+def write_edge_text(edges: DataFrame, path: str, sep: str = " ") -> None:
+    """Inverse converter (reference tools/bin2list.cpp:8-22)."""
+    edges.select(
+        F.concat_ws(sep, F.col("src").cast("string"), F.col("dst").cast("string")).alias("line")
+    ).write.mode("overwrite").text(path)
+
+
+def write_edges(edges: DataFrame, path: str, n_buckets: int | None = None) -> None:
+    """Columnar edge table, sorted within range partitions on src — the
+    bucketed external sort (reference buildCSR.cu:124-150) as a storage
+    layout, so downstream scans get clustered adjacency."""
+    out = edges
+    if n_buckets:
+        out = edges.repartitionByRange(n_buckets, "src").sortWithinPartitions("src", "dst")
+    out.write.mode("overwrite").parquet(path)
+
+
+def read_edges(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    )
+
+
+def read_vertex_order(spark: SparkSession, path: str) -> DataFrame:
+    """'org new' pairs -> (vertex, new_id) (reference util.cpp:71-99)."""
+    return spark.read.csv(path, sep=" ", schema="vertex LONG, new_id LONG", comment="#")
+
+
+def read_labels(spark: SparkSession, path: str) -> DataFrame:
+    """'u l' vertex-label pairs (reference sm.cpp:45-58)."""
+    return spark.read.csv(path, sep=" ", schema="vertex LONG, label INT", comment="#")
