@@ -22,7 +22,8 @@ def connected_components(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(vertex, component) with component = min vertex id in the component."""
-    sym = prep.symmetrize(canonical).cache()
+    n_part = spark.sparkContext.defaultParallelism
+    sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
     init = sym.select(F.col("src").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("component")
     )

@@ -29,7 +29,8 @@ def core_numbers(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(vertex, core) — exact core number per vertex at the h-index fixpoint."""
-    sym = prep.symmetrize(canonical).cache()
+    n_part = spark.sparkContext.defaultParallelism
+    sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
     init = prep.degrees(canonical).select("vertex", F.col("degree").alias("core"))
 
     w = Window.partitionBy("vertex").orderBy(F.desc("nbr_core"))

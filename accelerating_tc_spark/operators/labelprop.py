@@ -25,7 +25,8 @@ def label_propagation(
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(vertex, label) after n_iterations of synchronous min-mode propagation."""
-    sym = prep.symmetrize(canonical).cache()
+    n_part = spark.sparkContext.defaultParallelism
+    sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
     init = sym.select(F.col("src").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("label")
     )

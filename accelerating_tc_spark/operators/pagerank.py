@@ -34,16 +34,22 @@ def pagerank(
 ) -> DataFrame:
     """(vertex, rank) after n_iterations (or earlier L1 convergence if
     `tolerance` is set). Ranks sum to 1 over the vertex set."""
+    n_part = spark.sparkContext.defaultParallelism
     sym = prep.symmetrize(canonical)
-    verts = _vertices(sym).cache()
+    verts = _vertices(sym).repartition(n_part, "vertex").cache()
     n = verts.count()
     out_deg = sym.groupBy(F.col("src").alias("vertex")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
-    # (src, dst, out_degree) fixed for all rounds — computed once, cached.
-    edges_od = sym.join(out_deg, sym["src"] == out_deg["vertex"]).select(
-        "src", "dst", "out_degree"
-    ).cache()
+    # (src, dst, out_degree) fixed for all rounds — computed once, cached,
+    # hash-partitioned on the join key so each superstep only shuffles the
+    # (small) rank table, never the edges.
+    edges_od = (
+        sym.join(out_deg, sym["src"] == out_deg["vertex"])
+        .select("src", "dst", "out_degree")
+        .repartition(n_part, "src")
+        .cache()
+    )
     edges_od.count()
 
     init = verts.select("vertex", F.lit(1.0 / n).alias("rank"))

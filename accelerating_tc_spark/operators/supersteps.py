@@ -127,11 +127,13 @@ def iterate(
             persisted = new_state.localCheckpoint(eager=True)
 
         delta = delta_fn(state, persisted) if delta_fn is not None else None
+        # one job for the whole lineage record: rows = sum of the histogram
+        hist = _partition_histogram(persisted)
         m = IterationMetrics(
             iteration=i,
-            rows=persisted.count(),
-            n_partitions=persisted.rdd.getNumPartitions(),
-            partition_rows=_partition_histogram(persisted),
+            rows=sum(hist.values()),
+            n_partitions=len(hist),
+            partition_rows=hist,
             wall_s=round(time.time() - t0, 3),
             delta=delta,
         )
