@@ -42,21 +42,23 @@ def exact_duplicate_groups(documents: DataFrame) -> DataFrame:
 # ----------------------------------------------------- n-gram Jaccard
 
 def word_shingles(documents: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct word n-grams, via posexplode + window lead
-    (identical semantics to the SQL oracle's LEAD construction)."""
-    toks = documents.select("doc_id", F.posexplode(tokens_col()).alias("pos", "token"))
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
-    shingled = toks.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"), *[
-        F.lead("token", i).over(w).alias(f"_l{i}") for i in range(1, n)
-    ])
-    cond = None
-    for i in range(1, n):
-        c = F.col(f"_l{i}").isNotNull()
-        cond = c if cond is None else (cond & c)
-    return shingled.where(cond if cond is not None else F.lit(True)).select(
-        "doc_id", "shingle"
-    ).distinct()
+    """(doc_id, shingle) distinct word n-grams, built ARRAY-SIDE:
+    transform(sequence(...)) over the token array — zero shuffles (the old
+    posexplode + Window(doc_id, pos) plan sorted every token through an
+    exchange; this mirrors the DuckDB oracle's list_transform construction).
+    Docs with fewer than n tokens yield no rows (explode of null)."""
+    base = documents.select("doc_id", tokens_col().alias("toks"))
+    t = F.col("toks")
+    arr = F.when(
+        F.size(t) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+            )
+        ),
+    )
+    return base.select("doc_id", F.explode(arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(

@@ -19,8 +19,10 @@ Reference parity notes (file:line cites into /root/reference):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.ranking import dense_rank_ids
 
 
 def canonicalize_edges(edges: DataFrame) -> DataFrame:
@@ -86,14 +88,14 @@ def orient_by_degree(canonical: DataFrame, deg: DataFrame | None = None) -> Data
 def degree_rank_relabel(canonical: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Rank vertices by (degree desc, id) and relabel edges with dense new ids.
 
-    Returns (relabeled_edges, mapping(vertex, new_id)). The single-partition
-    window is only over the VERTEX table (small relative to edges); at true
-    scale swap in zipWithIndex-style rank via repartitionByRange + partition
-    offsets — semantics identical.
+    Returns (relabeled_edges, mapping(vertex, new_id)). Rank assignment is
+    fully distributed (repartitionByRange + per-partition offsets,
+    functions/ranking.py) — no single-task global window.
     """
     deg = degrees(canonical)
-    w = Window.orderBy(F.desc("degree"), F.asc("vertex"))
-    mapping = deg.select("vertex", (F.row_number().over(w) - 1).alias("new_id"))
+    mapping = dense_rank_ids(deg, [F.desc("degree"), F.asc("vertex")]).select(
+        "vertex", "new_id"
+    )
     relabeled = (
         canonical.join(mapping.withColumnRenamed("vertex", "src").withColumnRenamed("new_id", "new_src"), "src")
         .join(mapping.withColumnRenamed("vertex", "dst").withColumnRenamed("new_id", "new_dst"), "dst")
@@ -139,8 +141,7 @@ def compact_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
     vertices = edges.select(F.col("src").alias("vertex")).union(
         edges.select(F.col("dst").alias("vertex"))
     ).distinct()
-    w = Window.orderBy("vertex")
-    mapping = vertices.select("vertex", (F.row_number().over(w) - 1).cast("long").alias("new_id"))
+    mapping = dense_rank_ids(vertices, ["vertex"]).select("vertex", "new_id")
     remapped = (
         edges.join(mapping.withColumnRenamed("vertex", "src").withColumnRenamed("new_id", "new_src"), "src")
         .join(mapping.withColumnRenamed("vertex", "dst").withColumnRenamed("new_id", "new_dst"), "dst")

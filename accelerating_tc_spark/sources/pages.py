@@ -22,8 +22,10 @@ import re
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.ranking import dense_rank_ids
 
 # ---------------------------------------------------------------- URLs
 
@@ -38,7 +40,10 @@ def normalize_url(col: Column | str) -> Column:
         F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)),
         F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1),
     )
-    c = F.regexp_replace(c, r"^(https?://[^/]*):(?:80|443)(/|$)", r"$1$2")
+    # default ports are scheme-specific: :80 is only default for http,
+    # :443 only for https (http://h:443 is a DISTINCT origin from http://h)
+    c = F.regexp_replace(c, r"^(http://[^/:]*):80(/|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:]*):443(/|$)", r"$1$2")
     c = F.regexp_replace(c, r"^(https?://[^/]+)$", r"$1/")  # ensure path
     c = F.regexp_replace(c, r"(.)/$", r"$1")  # strip trailing slash (non-root)
     c = F.regexp_replace(c, r"^(https?://[^/]+)$", r"$1/")  # re-add root slash
@@ -139,12 +144,13 @@ def extract_text(pages: DataFrame) -> DataFrame:
 
 def url_id_mapping(links: DataFrame) -> DataFrame:
     """Dense ids for every url seen on either side (gap-squeezing compaction,
-    tools/serialize.cpp analog): (url, vertex_id) ordered by url."""
+    tools/serialize.cpp analog): (url, vertex_id) ordered by url. ID
+    assignment is fully distributed (functions/ranking.py) — every URL of the
+    crawl does NOT funnel through one task."""
     urls = links.select(F.col("src_url").alias("url")).union(
         links.select(F.col("dst_url").alias("url"))
     ).distinct()
-    w = Window.orderBy("url")
-    return urls.select("url", (F.row_number().over(w) - 1).cast("long").alias("vertex_id"))
+    return dense_rank_ids(urls, ["url"], id_col="vertex_id")
 
 
 def pages_to_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
