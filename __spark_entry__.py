@@ -86,6 +86,14 @@ def _q_tc(strategy: str, n_blocks: int = 8):
     return run
 
 
+def _q_tc_blocked_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked TC on the planted-mega-hub graph (vertex 1 adjacent to every
+    part): exercises the hub route (broadcast bitset/galloping probes) —
+    must agree exactly with the plain 3-way-join oracle."""
+    edges = tpch_graph.copurchase_hub_edges(spark, sf_dir)
+    return triangles.count_triangles(edges, strategy="blocked", n_blocks=8)
+
+
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_graph.copurchase_edges(spark, sf_dir)
     return prep.degree_histogram(prep.canonicalize_edges(edges)).orderBy("degree")
@@ -293,6 +301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_array_intersect": _q_tc("array_intersect"),
         "tc_kernel": _q_tc("kernel"),
         "tc_blocked": _q_tc("blocked"),
+        "tc_blocked_skewed": _q_tc_blocked_skewed,
         "degree_histogram": _q_degree_histogram,
         "out_degrees": _q_out_degrees,
         "edge_count": _q_edge_count,
@@ -393,6 +402,14 @@ def oracle_sql() -> dict[str, str]:
         "tc_array_intersect": _TC_ORACLE,
         "tc_kernel": _TC_ORACLE,
         "tc_blocked": _TC_ORACLE,
+        "tc_blocked_skewed": (
+            "WITH edges AS (" + tpch_graph.COPURCHASE_HUB_EDGES_SQL + """)
+SELECT COUNT(*)::BIGINT AS triangles
+FROM edges e1
+JOIN edges e2 ON e1.dst = e2.src
+JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+"""
+        ),
         "degree_histogram": _EDGES_DEG_CTE
         + """
 SELECT degree, COUNT(*)::BIGINT AS n_vertices

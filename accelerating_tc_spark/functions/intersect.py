@@ -114,6 +114,54 @@ def bitset_membership_count(bitset: np.ndarray, probes: np.ndarray) -> int:
     return int(np.count_nonzero(words & mask))
 
 
+def membership_counts_grouped(hub_ids, probe_lists, hub_sets: dict) -> np.ndarray:
+    """counts[i] = |probe_lists[i] ∩ hub_sets[hub_ids[i]]| — the hub/skew
+    kernel of the blocked triangle count (Bisson dual path, reference
+    Bisson/tc.cu:36-87: big rows probed via broadcast bitmaps).
+
+    Vectorized per DISTINCT hub: all rows sharing a hub are probed with one
+    concatenated numpy call. Per hub the probe strategy adapts:
+    - packed-bitset membership when the hub's value span is dense enough
+      (≤ 4 words per element — the BSR economy test, reference
+      porder.cpp:295-351),
+    - searchsorted (galloping) otherwise — memory stays O(|hub set|).
+    """
+    n = len(hub_ids)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    hub_ids = np.asarray(hub_ids, dtype=np.int64)
+    flat, rows, _ = _concat_ragged(probe_lists)
+    if flat.size == 0:
+        return out
+    for h in np.unique(hub_ids):
+        hs = hub_sets.get(int(h))
+        if hs is None or len(hs) == 0:
+            continue
+        hs = np.asarray(hs, dtype=np.int64)
+        sel = (hub_ids == h)[rows]
+        probes = flat[sel]
+        row_of = rows[sel]
+        if probes.size == 0:
+            continue
+        lo, hi = int(hs[0]), int(hs[-1])
+        span_words = ((hi - lo) >> _PACK_SHIFT) + 1
+        if span_words <= 4 * hs.size:
+            bs = pack_bitset(hs - lo, span_words)
+            in_range = (probes >= lo) & (probes <= hi)
+            p = probes[in_range] - lo
+            words = bs[p >> _PACK_SHIFT]
+            mask = np.uint64(1) << (p & 63).astype(np.uint64)
+            hits = (words & mask) != 0
+            np.add.at(out, row_of[in_range][hits], 1)
+        else:
+            idx = np.searchsorted(hs, probes)
+            idx_c = np.minimum(idx, hs.size - 1)
+            hits = hs[idx_c] == probes
+            np.add.at(out, row_of[hits], 1)
+    return out
+
+
 # Heuristic threshold: use galloping when one list is this many times longer.
 GALLOP_SKEW_RATIO = 32
 

@@ -20,14 +20,21 @@ All variants return a 1-row DataFrame with column `triangles: long`.
 
 from __future__ import annotations
 
+import time
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions.csr import CsrShard, intersect_count_csr
-from ..functions.intersect import intersect_count_pairs
+from ..functions.intersect import (
+    intersect_count_adaptive,
+    intersect_count_pairs,
+    membership_counts_grouped,
+)
 from ..plans.blocking import replicate_adjacency, tag_edge_blocks
 from . import prep
 
@@ -63,9 +70,6 @@ def triangle_count_array_intersect(oriented: DataFrame) -> DataFrame:
     return _as_long_result(per_edge.agg(F.sum("c").alias("triangles")))
 
 
-_COUNT_SCHEMA = StructType([StructField("triangles", LongType())])
-
-
 def triangle_count_kernel(oriented: DataFrame) -> DataFrame:
     """Wedge join + Arrow-batched numpy merge-intersect kernel.
 
@@ -91,50 +95,225 @@ def triangle_count_kernel(oriented: DataFrame) -> DataFrame:
     return _as_long_result(per_edge.agg(F.sum("c").alias("triangles")))
 
 
-def triangle_count_blocked(oriented: DataFrame, n_blocks: int = 8) -> DataFrame:
-    """Bounded-shuffle block-pair triangle count (the at-scale strategy).
+_PARTIAL_SCHEMA = StructType(
+    [StructField("triangles", LongType()), StructField("task_s", DoubleType())]
+)
 
-    Vertices hash into n_blocks; each cogrouped task receives the edges of
-    one (bu, bv) block pair plus exactly the two adjacency shards it needs
-    as FLAT (vertex, nbr) int64 rows (columnar end-to-end), rebuilds the
-    shard CSR with one numpy lexsort, and runs the batch merge kernel.
-    Shuffle volume: |edges| + 2·n_blocks·|edges| — independent of the wedge
-    count, unlike the per-edge array join, and every task's working set is
-    ~2/n_blocks of the adjacency. n_blocks is the `cal_part_num` analog
-    (reference tricount_gpu.cu:103-115): grow it with data size so a shard
-    pair always fits an executor.
-    """
+# Broadcast-size cap for hub adjacency: total out-neighbor entries shipped to
+# every executor (int64 each; 2^22 ≈ 32 MiB). Hubs beyond the cap (rarest
+# case: thousands of mega-hubs) fall back to the cogroup path.
+_MAX_HUB_ENTRIES = 1 << 22
+
+
+def _cogroup_partials(edges_b: DataFrame, adj_rep: DataFrame) -> DataFrame:
+    """Block-pair cogroup partial counts: (triangles, task_s) per pair."""
     import pyarrow as pa
 
-    edges_b = tag_edge_blocks(oriented, n_blocks)
-    adj = prep.adjacency(oriented)  # per-vertex sorted arrays, built ONCE
-    adj_rep = replicate_adjacency(adj, n_blocks)
-
     def count_pair(edges_t: "pa.Table", adj_t: "pa.Table") -> "pa.Table":
+        t0 = time.time()
         if edges_t.num_rows == 0 or adj_t.num_rows == 0:
-            return pa.table({"triangles": pa.array([0], type=pa.int64())})
-        # zero-copy CSR: Arrow list buffers ARE the flat array + spans;
-        # only the vertex column gets argsorted (no per-pair value re-sort).
-        shard = CsrShard.from_arrow_lists(
-            adj_t.column("vertex").to_numpy(zero_copy_only=False),
-            adj_t.column("nbrs"),
+            total = 0
+        else:
+            # zero-copy CSR: Arrow list buffers ARE the flat array + spans;
+            # only the vertex column gets argsorted (no per-pair value re-sort).
+            shard = CsrShard.from_arrow_lists(
+                adj_t.column("vertex").to_numpy(zero_copy_only=False),
+                adj_t.column("nbrs"),
+            )
+            counts = intersect_count_csr(
+                shard,
+                edges_t.column("src").to_numpy(zero_copy_only=False),
+                edges_t.column("dst").to_numpy(zero_copy_only=False),
+            )
+            total = int(counts.sum())
+        return pa.table(
+            {
+                "triangles": pa.array([total], type=pa.int64()),
+                "task_s": pa.array([time.time() - t0], type=pa.float64()),
+            }
         )
-        counts = intersect_count_csr(
-            shard,
-            edges_t.column("src").to_numpy(zero_copy_only=False),
-            edges_t.column("dst").to_numpy(zero_copy_only=False),
-        )
-        return pa.table({"triangles": pa.array([int(counts.sum())], type=pa.int64())})
 
-    partials = (
+    return (
         edges_b.groupBy("bu", "bv")
         .cogroup(adj_rep.groupBy("bu", "bv"))
-        .applyInArrow(count_pair, schema=_COUNT_SCHEMA)
+        .applyInArrow(count_pair, schema=_PARTIAL_SCHEMA)
     )
-    return _as_long_result(partials.agg(F.sum("triangles").alias("triangles")))
 
 
-def count_triangles(edges_raw: DataFrame, strategy: str = "blocked", n_blocks: int = 8) -> DataFrame:
+def _blocked_partials(
+    oriented: DataFrame, n_blocks: int = 8, hub_threshold: int | None = None
+) -> DataFrame:
+    """Skew-aware blocked plan: per-task partial counts (triangles, task_s).
+
+    Two physical routes, split by TOTAL degree (the number of edges that
+    reference a vertex's adjacency — in-degree is NOT bounded by the degree
+    orientation, so a web-scale hub concentrates wedge work into the few
+    block pairs that own it):
+
+    - **hub route** (reference Bisson big-row dual path, Bisson/tc.cu:36-87):
+      hubs' out-neighbor sets (orientation-bounded, so small even for
+      billion-degree hubs) are broadcast; each hub edge ships only the
+      NON-hub side's adjacency and probes it against the broadcast set via
+      bitset membership or galloping (functions/intersect.py
+      membership_counts_grouped). Rows are spread round-robin — no key, no
+      skew, perfectly even tasks.
+    - **cogroup route** for everything else: vertices hash into n_blocks,
+      each cogrouped task gets one (bu, bv) edge block plus exactly the two
+      adjacency shards it needs, rebuilds a zero-copy Arrow CSR and runs the
+      batch merge kernel. Shuffle volume |edges| + 2·n_blocks·|adj| —
+      independent of wedge count (reference TriCore pair loop,
+      tricount_gpu.cu:337-408; n_blocks is the `cal_part_num` analog).
+
+    hub_threshold=None auto-detects (8× average degree, floor 96);
+    an enormous threshold disables the hub route for A/B comparison.
+    """
+    spark = oriented.sparkSession
+    adj = prep.adjacency(oriented).cache()
+
+    deg = (
+        oriented.select(F.explode(F.array("src", "dst")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    if hub_threshold is None:
+        avg = deg.agg(F.avg("degree")).first()[0] or 1.0
+        hub_threshold = max(96, int(8 * avg))
+
+    hub_rows = (
+        deg.where(F.col("degree") >= F.lit(hub_threshold))
+        .withColumnRenamed("vertex", "src")
+        .join(adj, "src", "left")
+        .select("src", "degree", "nbrs")
+        .collect()
+    )
+    # cap the broadcast: keep the worst hubs first (they carry the skew)
+    hub_rows.sort(key=lambda r: (-r["degree"], r["src"]))
+    hub_sets: dict[int, np.ndarray] = {}
+    budget = _MAX_HUB_ENTRIES
+    for r in hub_rows:
+        nbrs = r["nbrs"] or []
+        if len(nbrs) > budget and hub_sets:
+            break
+        hub_sets[int(r["src"])] = np.asarray(nbrs, dtype=np.int64)
+        budget -= len(nbrs)
+
+    if not hub_sets:
+        return _cogroup_partials(
+            tag_edge_blocks(oriented, n_blocks), replicate_adjacency(adj, n_blocks)
+        )
+
+    bc = spark.sparkContext.broadcast(hub_sets)
+    hub_vdf = spark.createDataFrame(
+        [(int(v),) for v in sorted(hub_sets)], "vertex long"
+    )
+    flagged = (
+        oriented.join(
+            F.broadcast(hub_vdf.select(F.col("vertex").alias("src"), F.lit(True).alias("_hs"))),
+            "src",
+            "left",
+        ).join(
+            F.broadcast(hub_vdf.select(F.col("vertex").alias("dst"), F.lit(True).alias("_hd"))),
+            "dst",
+            "left",
+        )
+    )
+
+    # cogroup route: non-hub edges, shards only for non-hub owners
+    normal = flagged.where(F.col("_hs").isNull() & F.col("_hd").isNull()).select("src", "dst")
+    adj_nonhub = adj.join(
+        F.broadcast(hub_vdf.withColumnRenamed("vertex", "src")), "src", "left_anti"
+    )
+    cogroup_part = _cogroup_partials(
+        tag_edge_blocks(normal, n_blocks), replicate_adjacency(adj_nonhub, n_blocks)
+    )
+
+    # hub route: ship the non-hub side's adjacency only; round-robin spread
+    hubbed = flagged.where(F.col("_hs").isNotNull() | F.col("_hd").isNotNull())
+    other = F.when(
+        F.col("_hs").isNotNull() & F.col("_hd").isNull(), F.col("dst")
+    ).when(F.col("_hd").isNotNull() & F.col("_hs").isNull(), F.col("src"))
+    hub_edges = hubbed.select(
+        "src",
+        "dst",
+        F.col("_hs").isNotNull().alias("src_is_hub"),
+        F.col("_hd").isNotNull().alias("dst_is_hub"),
+        other.alias("other"),
+    ).join(
+        adj.select(F.col("src").alias("other"), F.col("nbrs").alias("other_nbrs")),
+        "other",
+        "left",
+    )
+    spread = hub_edges.repartition(spark.sparkContext.defaultParallelism)
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sets = bc.value
+        for pdf in batches:
+            t0 = time.time()
+            total = 0
+            both = (pdf["src_is_hub"] & pdf["dst_is_hub"]).to_numpy()
+            if both.any():
+                # hub-hub edges: both sides in the broadcast (few rows —
+                # hubs are rare by construction)
+                for s, d in zip(
+                    pdf.loc[both, "src"].to_numpy(), pdf.loc[both, "dst"].to_numpy()
+                ):
+                    a = sets.get(int(s))
+                    b = sets.get(int(d))
+                    if a is not None and b is not None and len(a) and len(b):
+                        total += intersect_count_adaptive(a, b)
+            single = ~both
+            if single.any():
+                hub_of = np.where(
+                    pdf.loc[single, "src_is_hub"].to_numpy(),
+                    pdf.loc[single, "src"].to_numpy(),
+                    pdf.loc[single, "dst"].to_numpy(),
+                )
+                probes = [
+                    np.asarray(x, dtype=np.int64)
+                    if x is not None
+                    else np.empty(0, dtype=np.int64)
+                    for x in pdf.loc[single, "other_nbrs"]
+                ]
+                total += int(membership_counts_grouped(hub_of, probes, sets).sum())
+            yield pd.DataFrame({"triangles": [total], "task_s": [time.time() - t0]})
+
+    hub_part = spread.mapInPandas(probe, schema=_PARTIAL_SCHEMA)
+    return cogroup_part.unionAll(hub_part)
+
+
+def triangle_count_blocked(
+    oriented: DataFrame, n_blocks: int = 8, hub_threshold: int | None = None
+) -> DataFrame:
+    """Bounded-shuffle, skew-aware block-pair triangle count (the at-scale
+    strategy) — see _blocked_partials for the two-route plan."""
+    partials = _blocked_partials(oriented, n_blocks, hub_threshold)
+    return _as_long_result(
+        partials.agg(F.coalesce(F.sum("triangles"), F.lit(0)).alias("triangles"))
+    )
+
+
+def blocked_task_stats(
+    oriented: DataFrame, n_blocks: int = 8, hub_threshold: int | None = None
+) -> DataFrame:
+    """Skew diagnostics for the blocked plan: one row with the triangle sum
+    plus max / median / total per-task kernel seconds. Used by bench to show
+    max/median task time before vs after hub routing."""
+    partials = _blocked_partials(oriented, n_blocks, hub_threshold)
+    return partials.agg(
+        F.coalesce(F.sum("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.round(F.max("task_s"), 4).alias("max_task_s"),
+        F.round(F.expr("percentile(task_s, 0.5)"), 4).alias("median_task_s"),
+        F.round(F.sum("task_s"), 4).alias("total_task_s"),
+    )
+
+
+def count_triangles(
+    edges_raw: DataFrame,
+    strategy: str = "blocked",
+    n_blocks: int = 8,
+    hub_threshold: int | None = None,
+) -> DataFrame:
     """End-to-end pipeline: clean -> degree-orient -> count with the chosen strategy."""
     canonical = prep.canonicalize_edges(edges_raw)
     oriented = prep.orient_by_degree(canonical)
@@ -145,7 +324,7 @@ def count_triangles(edges_raw: DataFrame, strategy: str = "blocked", n_blocks: i
     if strategy == "kernel":
         return triangle_count_kernel(oriented)
     if strategy == "blocked":
-        return triangle_count_blocked(oriented, n_blocks=n_blocks)
+        return triangle_count_blocked(oriented, n_blocks=n_blocks, hub_threshold=hub_threshold)
     raise ValueError(f"unknown strategy: {strategy}")
 
 

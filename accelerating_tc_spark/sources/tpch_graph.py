@@ -36,6 +36,40 @@ WHERE a.user_id < b.user_id
 """
 
 
+# Skewed fixture: mod-5 sparsified co-purchase graph UNION a planted
+# mega-hub — vertex 1 adjacent to EVERY part (degree ≈ |parts|, hundreds of
+# times the sparsified average). Exercises the hub route of the blocked
+# triangle count; exactly expressible in SQL so the oracle builds the same
+# graph.
+COPURCHASE_HUB_EDGES_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_partkey < b.l_partkey AND (a.l_partkey + b.l_partkey) % 5 = 0
+UNION
+SELECT DISTINCT 1 AS src, l_partkey AS dst
+FROM lineitem WHERE l_partkey > 1
+"""
+
+
+def copurchase_hub_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical skewed edge table matching COPURCHASE_HUB_EDGES_SQL."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.withColumnRenamed("l_partkey", "src")
+    b = li.withColumnRenamed("l_partkey", "dst")
+    sparsified = (
+        a.join(b, "l_orderkey")
+        .where((F.col("src") < F.col("dst")) & ((F.col("src") + F.col("dst")) % 5 == 0))
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+    hub = li.where(F.col("l_partkey") > 1).select(
+        F.lit(1).cast("long").alias("src"), F.col("l_partkey").cast("long").alias("dst")
+    )
+    return sparsified.union(hub).distinct()
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical (src < dst, distinct, no loops) part co-purchase edges."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(

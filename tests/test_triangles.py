@@ -43,6 +43,49 @@ def test_hub_graph_all_strategies_agree(spark):
         assert got == expected
 
 
+@pytest.mark.parametrize("hub_threshold", [2, 5, 20])
+def test_blocked_hub_route_parity(spark, hub_threshold):
+    """Force the hub route on (low thresholds make MANY vertices hubs —
+    including hub-hub edges and empty-adjacency hubs) and require exact
+    parity with the numpy oracle."""
+    pairs = synthetic.powerlaw_edge_pairs(200, 1200, seed=7)
+    expected = synthetic.numpy_triangle_count(pairs)
+    edges = synthetic.edges_df(spark, pairs.tolist())
+    for nb in (2, 4):
+        got = _count(
+            triangles.count_triangles(
+                edges, strategy="blocked", n_blocks=nb, hub_threshold=hub_threshold
+            )
+        )
+        assert got == expected, f"threshold={hub_threshold} n_blocks={nb}"
+
+
+def test_blocked_mega_hub_parity(spark):
+    """Planted mega-hub (one vertex adjacent to half the graph) with auto
+    threshold: hub route must engage and the count must stay exact."""
+    edges = synthetic.hub_edges(spark, n_vertices=300)
+    pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+    expected = synthetic.numpy_triangle_count(pairs)
+    got = _count(triangles.count_triangles(edges, strategy="blocked", n_blocks=4))
+    assert got == expected
+    # disabling the hub route must give the same answer
+    got_off = _count(
+        triangles.count_triangles(
+            edges, strategy="blocked", n_blocks=4, hub_threshold=2**62
+        )
+    )
+    assert got_off == expected
+
+
+def test_blocked_task_stats_schema(spark):
+    edges = synthetic.hub_edges(spark, n_vertices=120)
+    oriented = prep.orient_by_degree(prep.canonicalize_edges(edges))
+    row = triangles.blocked_task_stats(oriented, n_blocks=2, hub_threshold=10).collect()[0]
+    pairs = [(r["src"], r["dst"]) for r in prep.canonicalize_edges(edges).collect()]
+    assert row["triangles"] == synthetic.numpy_triangle_count(pairs)
+    assert row["n_tasks"] >= 1 and row["max_task_s"] >= row["median_task_s"]
+
+
 def test_per_vertex_counts_sum_to_3x(spark):
     edges, expected = synthetic.tiny_graph(spark, "k5")
     oriented = prep.orient_by_degree(prep.canonicalize_edges(edges))
