@@ -31,9 +31,11 @@ from accelerating_tc_spark.operators import (  # noqa: E402
     kclique,
     kcore,
     labelprop,
+    maxclique,
     pagerank,
     prep,
     similarity,
+    subgraph,
     text,
     triangles,
 )
@@ -151,6 +153,36 @@ def _q_kclique4(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("src") + F.col("dst")) % 5 == 0
     )
     return kclique.kclique_count(edges, k=4)
+
+
+def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mod-5 sparsified co-purchase graph (see _q_kclique4)."""
+    return tpch_graph.copurchase_edges(spark, sf_dir).where(
+        (F.col("src") + F.col("dst")) % 5 == 0
+    )
+
+
+def _q_maximal_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: maximal clique count on the sparsified co-purchase graph, vs a
+    DuckDB recursive-CTE enumeration oracle."""
+    return maxclique.maximal_clique_count(_sparse_edges(spark, sf_dir))
+
+
+# labeled triangle query: labels are vertex % 4 (SQL-expressible)
+_SM_QUERY_LABELS = {0: 0, 1: 1, 2: 2}
+_SM_QUERY_EDGES = [(0, 1), (1, 2), (0, 2)]
+
+
+def _q_subgraph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: labeled-triangle embedding count (WCOJ-style candidate joins)."""
+    edges = _sparse_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    labels = verts.select("vertex", (F.col("vertex") % 4).alias("label"))
+    return subgraph.subgraph_match_count(edges, labels, _SM_QUERY_LABELS, _SM_QUERY_EDGES)
 
 
 def _q_edge_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,6 +343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_numbers": _q_core_numbers,
         "orientation_balance": _q_orientation_balance,
         "kclique4": _q_kclique4,
+        "maximal_cliques": _q_maximal_cliques,
+        "subgraph_match": _q_subgraph_match,
         "edge_workload_total": _q_edge_workload,
         "web_edges": _q_web_edges,
         # --- training-data pipeline ops (documents / embeddings / events) ---
@@ -437,6 +471,16 @@ SELECT ROUND(SUM(ABS(out_degree - (SELECT AVG(out_degree) FROM od))), 6) AS bala
 FROM od
 """,
         "kclique4": kclique.kclique_oracle_sql(_EDGES_SPARSE_CTE, 4),
+        "maximal_cliques": maxclique.maximal_clique_oracle_sql(_EDGES_SPARSE_CTE),
+        "subgraph_match": subgraph.subgraph_match_oracle_sql(
+            _EDGES_SPARSE_CTE,
+            """
+, verts AS (SELECT src AS vertex FROM edges UNION SELECT dst AS vertex FROM edges)
+, vlabels AS (SELECT vertex, vertex % 4 AS label FROM verts)
+""",
+            _SM_QUERY_LABELS,
+            _SM_QUERY_EDGES,
+        ),
         "edge_workload_total": _EDGES_DEG_CTE
         + """
 , od AS (SELECT src AS vertex, COUNT(*) AS out_degree FROM oriented GROUP BY src)

@@ -115,6 +115,31 @@ def test_maximal_cliques_exact(spark, small_graph):
     assert got == expected
 
 
+def test_maximal_cliques_hub_graph(spark):
+    """Skewed fixture: the per-seed payload must stay bounded (pre-intersected
+    adjacency) and the enumeration exact even with a mega-hub seed."""
+    edges = synthetic.hub_edges(spark, n_vertices=200)
+    clean = sorted(
+        {(min(r["src"], r["dst"]), max(r["src"], r["dst"])) for r in edges.collect() if r["src"] != r["dst"]}
+    )
+    got = sorted(tuple(r["clique"]) for r in maxclique.maximal_cliques(edges).collect())
+    assert got == py_maximal_cliques(clean)
+
+
+def test_maximal_clique_oracle_sql_matches(spark, small_graph):
+    import duckdb
+    import pandas as pd
+
+    clean, _ = small_graph
+    con = duckdb.connect()
+    con.register("edge_tbl", pd.DataFrame(clean, columns=["src", "dst"]))
+    sql = maxclique.maximal_clique_oracle_sql(
+        "WITH edges AS (SELECT src, dst FROM edge_tbl)"
+    )
+    got = con.execute(sql).fetchone()[0]
+    assert got == len(py_maximal_cliques(clean))
+
+
 def test_maximal_cliques_known(spark):
     # K4 + triangle sharing vertex 0 + pendant edge
     pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 10), (0, 11), (10, 11), (11, 20)]
