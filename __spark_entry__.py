@@ -33,6 +33,7 @@ from accelerating_tc_spark.operators import (  # noqa: E402
     labelprop,
     maxclique,
     pagerank,
+    peel,
     prep,
     similarity,
     subgraph,
@@ -143,6 +144,15 @@ def _q_orientation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prep.orientation_balance_cost(oriented).select(
         F.round("balance_cost", 6).alias("balance_cost")
     )
+
+
+def _q_peel_orientation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 proper: A-direction threshold peel (multi-round frontier levels) on
+    the co-purchase graph; reports the reference's balance metric for the
+    peel orientation vs the degree orientation plus the level count.
+    Iterative frontier fixpoint -> rows-only check; exact level parity vs a
+    python oracle is pinned in tests/test_peel.py."""
+    return peel.peel_vs_degree_balance(spark, _canonical(spark, sf_dir), thre_param=2.0)
 
 
 def _q_kclique4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
         "orientation_balance": _q_orientation_balance,
+        "peel_orientation_balance": _q_peel_orientation_balance,
         "kclique4": _q_kclique4,
         "maximal_cliques": _q_maximal_cliques,
         "subgraph_match": _q_subgraph_match,
