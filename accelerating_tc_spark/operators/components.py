@@ -1,10 +1,20 @@
-"""Connected components: iterative min-id propagation supersteps.
+"""Connected components: min-label propagation with pointer jumping.
 
-comp_{t+1}(v) = min(comp_t(v), min over neighbors comp_t(u)); exact
-component ids at the fixpoint (the id of each component's smallest vertex),
-matching the north rule's "component IDs exact". Rounds ~ graph diameter;
-every round is one shuffle-join + one groupBy — both on the same vertex
-key, so the exchange is reused. State checkpoints via the superstep spine.
+Base rule: comp_{t+1}(v) = min(comp_t(v), min over neighbors comp_t(u));
+exact component ids at the fixpoint (the id of each component's smallest
+vertex), matching the north rule's "component IDs exact".
+
+Round complexity is the 100 TB concern: plain propagation needs
+O(diameter) supersteps — hundreds on web-graph long tails. The default
+``jump`` algorithm adds POINTER JUMPING each round (label <- label of
+label, the shortcutting of Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14 — public result): labels chase their own
+chains, collapsing rounds to O(log n) on paths. Invariants: a label is
+always a vertex id inside its own component and only decreases, so the
+fixpoint is unchanged — both algorithms return byte-identical results.
+
+Every round is one shuffle-join + one groupBy (+ one label self-join for
+jump) on the same vertex key; state checkpoints via the superstep spine.
 """
 
 from __future__ import annotations
@@ -15,13 +25,19 @@ from pyspark.sql import functions as F
 from . import prep, supersteps
 
 
-def connected_components(
+def connected_components_run(
     spark: SparkSession,
     canonical: DataFrame,
-    max_iterations: int = 50,
+    max_iterations: int = 100,
     checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """(vertex, component) with component = min vertex id in the component."""
+    algorithm: str = "jump",
+) -> supersteps.SuperstepRun:
+    """Full run record (state + per-round metrics). algorithm: "jump"
+    (min-propagation + pointer jumping, O(log n)-ish rounds, default) or
+    "minlabel" (plain propagation, O(diameter) rounds — the naive baseline
+    kept for round-count comparison in bench)."""
+    if algorithm not in ("jump", "minlabel"):
+        raise ValueError(f"unknown algorithm: {algorithm}")
     n_part = spark.sparkContext.defaultParallelism
     sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
     init = sym.select(F.col("src").alias("vertex")).distinct().select(
@@ -35,8 +51,19 @@ def connected_components(
             .groupBy("vertex")
             .agg(F.min("nbr_comp").alias("nbr_comp"))
         )
-        return state.join(nbr_min, "vertex", "left").select(
+        cand = state.join(nbr_min, "vertex", "left").select(
             "vertex", F.least("component", F.coalesce("nbr_comp", "component")).alias("component")
+        )
+        if algorithm == "minlabel":
+            return cand
+        # pointer jump: component <- component(component). Labels are vertex
+        # ids of the same graph, monotone non-increasing, so the lookup is a
+        # plain self-join on the label table.
+        lbl = state.select(
+            F.col("vertex").alias("component"), F.col("component").alias("jumped")
+        )
+        return cand.join(lbl, "component", "left").select(
+            "vertex", F.least("component", F.coalesce("jumped", "component")).alias("component")
         )
 
     def delta_fn(old: DataFrame, new: DataFrame) -> float:
@@ -46,7 +73,7 @@ def connected_components(
         )
         return float(changed)
 
-    run = supersteps.iterate(
+    return supersteps.iterate(
         spark,
         init,
         step,
@@ -54,8 +81,21 @@ def connected_components(
         delta_fn=delta_fn,
         tolerance=0.0,
         checkpoint_dir=checkpoint_dir,
+        on_nonconverged="raise",  # exact-semantics operator
     )
-    return run.state
+
+
+def connected_components(
+    spark: SparkSession,
+    canonical: DataFrame,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    algorithm: str = "jump",
+) -> DataFrame:
+    """(vertex, component) with component = min vertex id in the component."""
+    return connected_components_run(
+        spark, canonical, max_iterations, checkpoint_dir, algorithm
+    ).state
 
 
 def components_oracle_sql(edges_cte: str) -> str:

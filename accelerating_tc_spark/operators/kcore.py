@@ -61,6 +61,7 @@ def core_numbers(
         delta_fn=delta_fn,
         tolerance=0.0,
         checkpoint_dir=checkpoint_dir,
+        on_nonconverged="raise",  # exact-semantics operator
     )
     return run.state
 

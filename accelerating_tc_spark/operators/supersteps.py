@@ -23,6 +23,7 @@ import json
 import os
 import shutil
 import time
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -86,6 +87,7 @@ def iterate(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 1,
     resume: bool = True,
+    on_nonconverged: str = "warn",
 ) -> SuperstepRun:
     """Run `state <- step(state, i)` with checkpointing, lineage metrics, resume.
 
@@ -94,6 +96,10 @@ def iterate(
       fixed-round mode, used when an unrolled SQL oracle must match).
     - `checkpoint_dir`: parquet snapshot per kept iteration + lineage.jsonl.
       With resume=True a rerun continues from the latest complete snapshot.
+    - `on_nonconverged`: what to do when max_iterations is hit with a delta_fn
+      still above tolerance — "warn" (default), "raise" (exact-semantics
+      operators: returning a non-fixpoint state would be silently wrong), or
+      "ignore".
     """
     metrics: list[IterationMetrics] = []
     start_iter = 0
@@ -146,5 +152,15 @@ def iterate(
         if delta is not None and delta <= tolerance:
             converged = True
             break
+
+    if delta_fn is not None and not converged and metrics:
+        msg = (
+            f"superstep loop hit max_iterations={max_iterations} with "
+            f"delta={metrics[-1].delta} > tolerance={tolerance}; state is NOT a fixpoint"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return SuperstepRun(state=state, iterations=len(metrics) + start_iter, converged=converged, metrics=metrics)

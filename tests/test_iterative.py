@@ -132,6 +132,33 @@ def test_connected_components_exact(spark, graph):
     assert got == python_components(pairs)
 
 
+def test_cc_pointer_jumping_on_path_graph(spark):
+    """High-diameter fixture: a 120-vertex path. Plain min-propagation needs
+    O(diameter) rounds; pointer jumping must converge in O(log n) and give
+    byte-identical labels."""
+    pairs = [(i, i + 1) for i in range(119)]
+    canonical = prep.canonicalize_edges(synthetic.edges_df(spark, pairs))
+    jump = components.connected_components_run(spark, canonical, algorithm="jump")
+    assert jump.converged and jump.iterations <= 12  # ~log2(120) + slack
+    base = components.connected_components_run(
+        spark, canonical, max_iterations=130, algorithm="minlabel"
+    )
+    assert base.converged and base.iterations > jump.iterations
+    j = {r["vertex"]: r["component"] for r in jump.state.collect()}
+    b = {r["vertex"]: r["component"] for r in base.state.collect()}
+    assert j == b == {v: 0 for v in range(120)}
+
+
+def test_iterate_nonconverged_raises(spark):
+    """Exact-semantics operators must not silently return a non-fixpoint."""
+    pairs = [(i, i + 1) for i in range(60)]
+    canonical = prep.canonicalize_edges(synthetic.edges_df(spark, pairs))
+    with pytest.raises(RuntimeError, match="NOT a fixpoint"):
+        components.connected_components(
+            spark, canonical, max_iterations=3, algorithm="minlabel"
+        )
+
+
 def test_label_propagation_matches_python(spark, graph):
     pairs, canonical = graph
     got = {
