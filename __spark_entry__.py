@@ -32,6 +32,7 @@ from accelerating_tc_spark.operators import (  # noqa: E402
     kcore,
     labelprop,
     maxclique,
+    order,
     pagerank,
     peel,
     prep,
@@ -206,6 +207,12 @@ def _q_edge_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl.agg(F.round(F.sum("workload"), 4).alias("total_workload"))
 
 
+def _q_bsr_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: BSR compression-ratio diagnostic — distinct 64-value base words
+    per adjacency entry (forward + reverse lists) on the co-purchase graph."""
+    return order.compression_ratio(_canonical(spark, sf_dir))
+
+
 def _q_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edge-extraction front end (input_hint): deterministic synthetic web
     corpus -> normalized links -> dense-ID canonical edge table. Rows-only
@@ -369,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maximal_cliques": _q_maximal_cliques,
         "subgraph_match": _q_subgraph_match,
         "edge_workload_total": _q_edge_workload,
+        "bsr_compression": _q_bsr_compression,
         "web_edges": _q_web_edges,
         # --- training-data pipeline ops (documents / embeddings / events) ---
         "doc_stats": _q_doc_stats,
@@ -524,6 +532,16 @@ SELECT ROUND(SUM(
 FROM oriented e
 LEFT JOIN od ou ON ou.vertex = e.src
 LEFT JOIN od ov ON ov.vertex = e.dst
+""",
+        "bsr_compression": _EDGES_CTE
+        + """
+, o AS (SELECT src, COUNT(DISTINCT dst // 64) AS b FROM edges GROUP BY src)
+, i AS (SELECT dst, COUNT(DISTINCT src // 64) AS b FROM edges GROUP BY dst)
+, m AS (SELECT COUNT(*)::DOUBLE AS m FROM edges)
+SELECT ROUND((SELECT SUM(b) FROM o) / m, 6) AS out_comp_ratio,
+       ROUND((SELECT SUM(b) FROM i) / m, 6) AS in_comp_ratio,
+       ROUND(((SELECT SUM(b) FROM o) / m + (SELECT SUM(b) FROM i) / m) / 2, 6) AS comp_ratio
+FROM m
 """,
         "doc_stats": _TOKS_CTE
         + """

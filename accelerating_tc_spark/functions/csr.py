@@ -135,14 +135,28 @@ def intersect_count_csr(shard: CsrShard, u_keys: np.ndarray, v_keys: np.ndarray)
     n = len(u_keys)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    flat_a, rows_a, _ = shard.gather(shard.rows_of(u_keys))
-    flat_b, rows_b, _ = shard.gather(shard.rows_of(v_keys))
+    flat_a, rows_a, lens_a = shard.gather(shard.rows_of(u_keys))
+    flat_b, rows_b, lens_b = shard.gather(shard.rows_of(v_keys))
     if flat_a.size == 0 or flat_b.size == 0:
         return np.zeros(n, dtype=np.int64)
-    max_v = np.int64(max(flat_a.max(), flat_b.max())) + 1
+    # shift to a non-negative base: intersections are invariant under a
+    # common offset, and negative ids would silently collide in the encoding
+    off = np.int64(min(flat_a.min(), flat_b.min()))
+    max_v = np.int64(max(flat_a.max(), flat_b.max())) - off + 1
     if max_v > 0 and n > (np.iinfo(np.int64).max // max_v):
-        raise OverflowError("vertex-id * batch-size exceeds int64 encoding range")
-    enc_a = rows_a * max_v + flat_a
-    enc_b = rows_b * max_v + flat_b
+        # encoding would overflow int64 (raw sparse ids x huge batch):
+        # per-edge fallback, still C-speed per row
+        a_splits = np.split(flat_a, np.cumsum(lens_a)[:-1])
+        b_splits = np.split(flat_b, np.cumsum(lens_b)[:-1])
+        return np.fromiter(
+            (
+                np.intersect1d(a, b, assume_unique=True).size
+                for a, b in zip(a_splits, b_splits)
+            ),
+            dtype=np.int64,
+            count=n,
+        )
+    enc_a = rows_a * max_v + (flat_a - off)
+    enc_b = rows_b * max_v + (flat_b - off)
     hits = np.intersect1d(enc_a, enc_b, assume_unique=True)
     return np.bincount(hits // max_v, minlength=n).astype(np.int64)

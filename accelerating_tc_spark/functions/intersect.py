@@ -58,7 +58,10 @@ def intersect_count_pairs(a_sets, b_sets) -> np.ndarray:
     flat_b, rows_b, _ = _concat_ragged(b_sets)
     if flat_a.size == 0 or flat_b.size == 0:
         return np.zeros(n, dtype=np.int64)
-    max_v = np.int64(max(flat_a.max(), flat_b.max())) + 1
+    # shift to a non-negative base (common offset preserves intersections;
+    # negative values would silently collide in the row encoding)
+    off = np.int64(min(flat_a.min(), flat_b.min()))
+    max_v = np.int64(max(flat_a.max(), flat_b.max())) - off + 1
     # Guard the encoding against int64 overflow: n * max_v must fit.
     if max_v > 0 and n > (np.iinfo(np.int64).max // max_v):
         # Fallback: per-row intersect (still C-speed per row).
@@ -67,8 +70,8 @@ def intersect_count_pairs(a_sets, b_sets) -> np.ndarray:
             dtype=np.int64,
             count=n,
         )
-    enc_a = rows_a * max_v + flat_a
-    enc_b = rows_b * max_v + flat_b
+    enc_a = rows_a * max_v + (flat_a - off)
+    enc_b = rows_b * max_v + (flat_b - off)
     hits = np.intersect1d(enc_a, enc_b, assume_unique=True)
     return np.bincount(hits // max_v, minlength=n).astype(np.int64)
 

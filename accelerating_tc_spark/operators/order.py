@@ -1,0 +1,212 @@
+"""Vertex (re)ordering suite: A-order balanced interleave, SlashBurn-style
+iterated hub extraction, and the BSR compression-ratio diagnostic.
+
+Reference parity (SURVEY.md G4/O5/A11):
+- balanced interleave  -> vertex_ordering/A-order/A-order-v2.cpp:102-150
+  (method 2: degree-sorted order split into mix_ratio chunks, re-read
+  round-robin so every window of mix_ratio consecutive new ids holds one
+  vertex from each degree band — the defense against degree skew INSIDE a
+  partition range).
+- SlashBurn            -> vertex_ordering/other_order/porder.cpp:1009-1114
+  (`slashburn_order`; algorithm is public: Kang & Faloutsos, ICDM'11):
+  repeatedly pull the k highest-degree vertices to the FRONT of the
+  ordering, push all non-giant components of the remainder to the BACK,
+  recurse into the giant component.
+- compression ratio    -> porder.cpp:295-351 `comp_ratio` (+ BSR packing,
+  bitpack_triangle_count.cpp): mean number of distinct 64-bit base words
+  per adjacency list entry — the quality metric an ordering optimizes for
+  bitmap/BSR execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.ranking import dense_rank_ids
+from . import components, prep
+
+_PACK_SHIFT = 6  # 64-bit words (matches functions/intersect.py)
+
+
+def balanced_interleave_relabel(
+    canonical: DataFrame, mix_ratio: int = 40
+) -> tuple[DataFrame, DataFrame]:
+    """Relabel vertices by the A-order-v2 round-robin interleave.
+
+    rank r (by degree desc, id) with chunk_size = n // mix_ratio maps to
+      new_id = (r mod chunk_size) * mix_ratio + (r div chunk_size)
+    for r < mix_ratio * chunk_size; the tail keeps its rank (reference
+    leftover loop). Bijective by construction. Returns (relabeled_edges,
+    mapping(vertex, new_id)).
+    """
+    deg = prep.degrees(canonical)
+    ranked = dense_rank_ids(deg, [F.desc("degree"), F.asc("vertex")], id_col="r")
+    n = ranked.count()
+    chunk_size = max(n // mix_ratio, 1)
+    body = mix_ratio * chunk_size
+    r = F.col("r")
+    new_id = F.when(r < body, (r % chunk_size) * mix_ratio + (r / chunk_size).cast("long")).otherwise(r)
+    mapping = ranked.select("vertex", new_id.cast("long").alias("new_id"))
+    relabeled = (
+        canonical.join(
+            mapping.withColumnRenamed("vertex", "src").withColumnRenamed("new_id", "new_src"),
+            "src",
+        )
+        .join(
+            mapping.withColumnRenamed("vertex", "dst").withColumnRenamed("new_id", "new_dst"),
+            "dst",
+        )
+        .select(
+            F.least("new_src", "new_dst").alias("src"),
+            F.greatest("new_src", "new_dst").alias("dst"),
+        )
+    )
+    return relabeled, mapping
+
+
+def slashburn_order(
+    spark: SparkSession,
+    canonical: DataFrame,
+    k: int | None = None,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(vertex, new_id): SlashBurn ordering — hubs first, fringe last.
+
+    Each round: the k highest-degree unassigned vertices take the next
+    front ids (degree desc, id asc); components of the remainder are found
+    (pointer-jump CC); every NON-giant component's vertices take ids from
+    the back (ordered by component, id); the giant component recurses.
+    Stops when the remainder is smaller than k or max_rounds is hit; the
+    leftover takes front ids in vertex order (reference leftover loop).
+
+    Deviations from the reference, documented: components are computed on
+    the WHOLE remainder (the reference only discovers components adjacent
+    to this round's hubs — a discovery-order optimization, not semantics),
+    and back-id order within a round is (component, vertex) rather than
+    BFS encounter order (the reference's is scheduling-dependent).
+    """
+    n_total = (
+        canonical.select(F.col("src").alias("v"))
+        .union(canonical.select(F.col("dst").alias("v")))
+        .distinct()
+        .count()
+    )
+    if k is None:
+        k = max(1, min(n_total // 64, 1024))
+    front, back = 0, n_total - 1
+    assignments: list[DataFrame] = []
+    remaining = canonical.localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        n_remaining = back - front + 1
+        if n_remaining < k:
+            break
+        deg = prep.degrees(remaining)
+        hubs = deg.orderBy(F.desc("degree"), F.asc("vertex")).limit(k)
+        n_hubs = hubs.count()
+        if n_hubs == 0:  # no edges left; leftover loop assigns the rest
+            break
+        hub_ids = dense_rank_ids(hubs, [F.desc("degree"), F.asc("vertex")], id_col="r")
+        assignments.append(hub_ids.select("vertex", (F.col("r") + front).alias("new_id")))
+        front += n_hubs
+
+        hub_v = hubs.select("vertex")
+        remainder = (
+            remaining.join(hub_v.withColumnRenamed("vertex", "src"), "src", "left_anti")
+            .join(hub_v.withColumnRenamed("vertex", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+        )
+        # vertices that lost all edges become singleton components
+        verts_left = (
+            deg.select("vertex")
+            .join(hub_v, "vertex", "left_anti")
+        )
+        cc_edges = components.connected_components(spark, remainder)
+        cc = verts_left.join(cc_edges, "vertex", "left").select(
+            "vertex", F.coalesce("component", F.col("vertex")).alias("component")
+        )
+        sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+        giant = sizes.orderBy(F.desc("sz"), F.asc("component")).limit(1)
+        non_giant = cc.join(giant.select("component"), "component", "left_anti")
+        n_non_giant = non_giant.count()
+        if n_non_giant > 0:
+            ng_ranked = dense_rank_ids(
+                non_giant, [F.asc("component"), F.asc("vertex")], id_col="r"
+            )
+            assignments.append(
+                ng_ranked.select(
+                    "vertex", (F.lit(back) - F.lit(n_non_giant - 1) + F.col("r")).alias("new_id")
+                )
+            )
+            back -= n_non_giant
+        giant_v = cc.join(giant.select("component"), "component", "left_semi").select("vertex")
+        remaining = (
+            remainder.join(giant_v.withColumnRenamed("vertex", "src"), "src", "left_semi")
+            .join(giant_v.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+
+    # leftover: everything unassigned, front ids in vertex order
+    assigned = (
+        assignments[0].select("vertex")
+        if assignments
+        else canonical.select(F.col("src").alias("vertex")).where(F.lit(False))
+    )
+    for a in assignments[1:]:
+        assigned = assigned.union(a.select("vertex"))
+    all_v = (
+        canonical.select(F.col("src").alias("vertex"))
+        .union(canonical.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    leftover = all_v.join(assigned, "vertex", "left_anti")
+    if leftover.limit(1).count() > 0:
+        lo = dense_rank_ids(leftover, ["vertex"], id_col="r")
+        assignments.append(lo.select("vertex", (F.col("r") + front).alias("new_id")))
+
+    out = assignments[0]
+    for a in assignments[1:]:
+        out = out.union(a)
+    return out.select("vertex", F.col("new_id").cast("long").alias("new_id"))
+
+
+def compression_ratio(canonical: DataFrame, mapping: DataFrame | None = None) -> DataFrame:
+    """A11: BSR compression-ratio diagnostic (reference comp_ratio,
+    porder.cpp:295-351) — distinct 64-value base words per adjacency entry,
+    for the forward (src->dst) and reverse lists; lower = denser bitmaps =
+    better ordering. One row: (out_comp_ratio, in_comp_ratio, comp_ratio).
+    Optionally relabels through mapping(vertex, new_id) first."""
+    edges = canonical
+    if mapping is not None:
+        edges = (
+            canonical.join(
+                mapping.withColumnRenamed("vertex", "src").withColumnRenamed("new_id", "ns"), "src"
+            )
+            .join(
+                mapping.withColumnRenamed("vertex", "dst").withColumnRenamed("new_id", "nd"), "dst"
+            )
+            .select(
+                F.least("ns", "nd").alias("src"), F.greatest("ns", "nd").alias("dst")
+            )
+        )
+    m = edges.count()
+    out_bases = (
+        edges.groupBy("src")
+        .agg(F.count_distinct(F.shiftright("dst", _PACK_SHIFT)).alias("b"))
+        .agg(F.sum("b").alias("t"))
+        .first()["t"]
+    )
+    in_bases = (
+        edges.groupBy("dst")
+        .agg(F.count_distinct(F.shiftright("src", _PACK_SHIFT)).alias("b"))
+        .agg(F.sum("b").alias("t"))
+        .first()["t"]
+    )
+    spark = canonical.sparkSession
+    out_r = out_bases / m if m else 0.0
+    in_r = in_bases / m if m else 0.0
+    return spark.createDataFrame(
+        [(round(out_r, 6), round(in_r, 6), round((out_r + in_r) / 2, 6))],
+        "out_comp_ratio double, in_comp_ratio double, comp_ratio double",
+    )

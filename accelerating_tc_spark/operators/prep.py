@@ -114,6 +114,7 @@ def prune_low_degree(canonical: DataFrame, min_degree: int = 2, iterate: bool = 
     ``iterate=True`` peels to the full (min_degree)-core fixpoint.
     """
     current = canonical
+    n_current: int | None = None
     while True:
         deg = degrees(current)
         keep = deg.where(F.col("degree") >= min_degree).select("vertex")
@@ -124,12 +125,15 @@ def prune_low_degree(canonical: DataFrame, min_degree: int = 2, iterate: bool = 
         )
         if not iterate:
             return pruned
-        # Fixpoint check: one action per round; caller opts into iteration.
-        before = current.count()
-        after = pruned.count()
-        current = pruned.localCheckpoint(eager=True)
-        if after == before:
-            return current
+        # Fixpoint check: ONE count action per round (the previous round's
+        # count is carried over; only the first round pays an extra count).
+        pruned = pruned.localCheckpoint(eager=True)
+        n_pruned = pruned.count()
+        if n_current is None:
+            n_current = current.count()
+        if n_pruned == n_current:
+            return pruned
+        current, n_current = pruned, n_pruned
 
 
 def compact_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:

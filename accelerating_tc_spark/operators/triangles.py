@@ -35,7 +35,7 @@ from ..functions.intersect import (
     intersect_count_pairs,
     membership_counts_grouped,
 )
-from ..plans.blocking import replicate_adjacency, tag_edge_blocks
+from ..plans.blocking import replicate_adjacency, tag_edge_blocks, workload_balanced
 from . import prep
 
 
@@ -243,7 +243,15 @@ def _blocked_partials(
         "other",
         "left",
     )
-    spread = hub_edges.repartition(spark.sparkContext.defaultParallelism)
+    # equal-WORK spread: per-row probe cost is |other_nbrs|, so bin rows by
+    # weighted workload quantiles (plans.blocking.workload_balanced — the
+    # Hu equal-work ranges) rather than by row count
+    spread = workload_balanced(
+        hub_edges.withColumn(
+            "workload", F.coalesce(F.size("other_nbrs"), F.lit(0)) + F.lit(1)
+        ),
+        spark.sparkContext.defaultParallelism,
+    ).drop("workload")
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sets = bc.value

@@ -57,25 +57,6 @@ def replicate_adjacency(adj: DataFrame, n_blocks: int) -> DataFrame:
     return as_u.union(as_v)
 
 
-def replicate_adjacency_flat(oriented: DataFrame, n_blocks: int) -> DataFrame:
-    """FLAT adjacency replication: (vertex, nbr) int64 rows instead of array
-    rows — the whole exchange stays columnar/JVM-side and the per-pair CSR is
-    rebuilt with numpy sorts (zero per-row Python; input_hint invariant).
-
-    A row owned by a vertex in block b is shipped to pairs (b, *) as the
-    u-side shard and (*, b) as the v-side shard; the diagonal (b, b) is
-    emitted once (v-side skips bu == b) so no distinct is needed.
-    """
-    blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
-    base = oriented.select(F.col("src").alias("vertex"), F.col("dst").alias("nbr"))
-    b = block_of("vertex", n_blocks)
-    as_u = base.select("vertex", "nbr", b.alias("bu"), F.explode(blocks).alias("bv"))
-    as_v = base.select("vertex", "nbr", F.explode(blocks).alias("bu"), b.alias("bv")).where(
-        F.col("bu") != F.col("bv")
-    )
-    return as_u.union(as_v)
-
-
 def edge_workload(oriented: DataFrame, out_deg: DataFrame) -> DataFrame:
     """Per-edge work estimate (da + db - max)·log2(max + 2), reference Fox/tc.cu:18-33."""
     od_u = out_deg.withColumnRenamed("vertex", "src").withColumnRenamed("out_degree", "od_u")
@@ -91,14 +72,54 @@ def edge_workload(oriented: DataFrame, out_deg: DataFrame) -> DataFrame:
     )
 
 
-def workload_balanced(edges_with_workload: DataFrame, n_partitions: int) -> DataFrame:
-    """Range-repartition edges on estimated workload so each task gets equal
-    work, not equal rows (reference Hu/tc.cu:291-305 equal-work block ranges).
+def workload_balanced(
+    edges_with_workload: DataFrame, n_partitions: int, sample_mod: int = 10
+) -> DataFrame:
+    """Repartition rows into ~equal TOTAL-workload bins (reference
+    Hu/tc.cu:291-305: prefix-sum equal-work block ranges).
 
-    `repartitionByRange` samples the workload column — Spark's built-in
-    range-sample is the analog of the reference's prefix-sum binary search.
+    A plain repartitionByRange on the workload column gives equal ROW
+    counts per partition — the heavy-row partition then carries the most
+    work, the opposite of balance. Instead: a deterministic hash-sample of
+    workloads builds WEIGHTED quantile boundaries on the driver (the
+    distributed analog of the reference's prefix-sum binary search), rows
+    are binned by boundary, and bins become partitions.
     """
-    return edges_with_workload.repartitionByRange(n_partitions, "workload", "src")
+    df = edges_with_workload
+    sample = [
+        r["workload"]
+        for r in df.where(F.pmod(F.xxhash64("src", "dst"), F.lit(sample_mod)) == 0)
+        .select("workload")
+        .limit(100000)
+        .collect()
+    ]
+    if not sample:
+        sample = [r["workload"] for r in df.select("workload").limit(100000).collect()]
+    if not sample:
+        return df.repartition(n_partitions)
+    sample.sort()
+    total = float(sum(sample))
+    boundaries: list[float] = []
+    acc = 0.0
+    target = total / n_partitions
+    want = target
+    for w in sample:
+        acc += w
+        if acc >= want and len(boundaries) < n_partitions - 1:
+            boundaries.append(float(w))
+            want += target
+    if not boundaries:
+        return df.repartition(n_partitions)
+    bin_col = F.lit(0)
+    for b in boundaries:
+        bin_col = bin_col + (F.col("workload") > F.lit(b)).cast("int")
+    # range partitioning never splits equal keys, so each equal-work bin
+    # lands whole in one partition — bins ARE the reference's work ranges
+    return (
+        df.withColumn("_wbin", bin_col)
+        .repartitionByRange(n_partitions, "_wbin")
+        .drop("_wbin")
+    )
 
 
 def hub_vertices(deg: DataFrame, threshold: int) -> DataFrame:

@@ -55,12 +55,17 @@ def get_spark(
         .config("spark.cleaner.periodicGC.interval", "45s")
         # Shuffle spill dir: tmpfs when available (the sandbox's /tmp is
         # spinning-disk backed and serializes high-parallelism shuffles; on
-        # a real cluster this is the executors' local SSDs).
+        # a real cluster this is the executors' local SSDs). Tradeoff:
+        # tmpfs spill consumes RAM — set SPARK_GRAFT_LOCAL_DIR to a disk
+        # path for shuffle volumes near memory size. The per-PID suffix
+        # keeps concurrent sessions from sharing (and deleting) state.
         .config(
             "spark.local.dir",
             os.environ.get(
                 "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/spark_graft_local" if os.path.isdir("/dev/shm") else "/tmp",
+                f"/dev/shm/spark_graft_local_{os.getpid()}"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
             ),
         )
     )

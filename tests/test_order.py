@@ -1,0 +1,71 @@
+"""Vertex ordering suite: interleave bijectivity/banding, SlashBurn shape,
+compression-ratio diagnostic."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from accelerating_tc_spark.operators import order, prep
+from accelerating_tc_spark.sources import synthetic
+
+
+def test_balanced_interleave_bijective_and_banded(spark):
+    edges = synthetic.powerlaw_edges(spark, n_vertices=200, n_edges=1000, seed=5)
+    canonical = prep.canonicalize_edges(edges)
+    mix = 8
+    relabeled, mapping = order.balanced_interleave_relabel(canonical, mix_ratio=mix)
+    rows = mapping.collect()
+    n = len(rows)
+    ids = sorted(r["new_id"] for r in rows)
+    assert ids == list(range(n))  # bijective onto [0, n)
+    # banding: every aligned window of mix consecutive new ids draws one
+    # vertex from each degree-band chunk
+    deg = {r["vertex"]: r["degree"] for r in prep.degrees(canonical).collect()}
+    by_rank = sorted(rows, key=lambda r: (-deg[r["vertex"]], r["vertex"]))
+    chunk_size = n // mix
+    chunk_of = {r["vertex"]: i // chunk_size for i, r in enumerate(by_rank) if i < mix * chunk_size}
+    for r in rows:
+        if r["new_id"] < mix * chunk_size:
+            assert r["new_id"] % mix == chunk_of[r["vertex"]]
+    # graph structure preserved
+    orig = synthetic.numpy_triangle_count([(x["src"], x["dst"]) for x in canonical.collect()])
+    new = synthetic.numpy_triangle_count([(x["src"], x["dst"]) for x in relabeled.collect()])
+    assert orig == new
+
+
+def test_slashburn_bijective_hubs_front(spark):
+    edges = synthetic.hub_edges(spark, n_vertices=150, seed=4)
+    canonical = prep.canonicalize_edges(edges)
+    mapping = order.slashburn_order(spark, canonical, k=5, max_rounds=6)
+    rows = {r["vertex"]: r["new_id"] for r in mapping.collect()}
+    n = len(rows)
+    assert sorted(rows.values()) == list(range(n))
+    # the global max-degree vertex is the first hub -> new_id 0
+    deg = {r["vertex"]: r["degree"] for r in prep.degrees(canonical).collect()}
+    top = min(deg, key=lambda v: (-deg[v], v))
+    assert rows[top] == 0
+
+
+def test_compression_ratio_known(spark):
+    # out lists: 0 -> [1, 2, 64] = bases {0, 1} -> 2 distinct
+    # in  lists: 1 -> [0], 2 -> [0], 64 -> [0]  -> 3 distinct; m = 3
+    edges = synthetic.edges_df(spark, [(0, 1), (0, 2), (0, 64)])
+    canonical = prep.canonicalize_edges(edges)
+    row = order.compression_ratio(canonical).collect()[0]
+    assert abs(row["out_comp_ratio"] - 2 / 3) < 1e-6
+    assert abs(row["in_comp_ratio"] - 1.0) < 1e-6
+    assert abs(row["comp_ratio"] - (2 / 3 + 1.0) / 2) < 1e-6
+
+
+def test_compression_ratio_improves_with_ordering(spark):
+    # a graph whose natural ids scatter neighbors across base words: the
+    # degree-rank relabel should not WORSEN the hub's packing
+    edges = synthetic.powerlaw_edges(spark, n_vertices=400, n_edges=2500, seed=12)
+    canonical = prep.canonicalize_edges(edges)
+    base = order.compression_ratio(canonical).collect()[0]["comp_ratio"]
+    _, mapping = prep.degree_rank_relabel(canonical)
+    relab = order.compression_ratio(
+        canonical, mapping.select("vertex", F.col("new_id"))
+    ).collect()[0]["comp_ratio"]
+    assert 0 < relab <= 1.0 and 0 < base <= 1.0
+    assert relab <= base + 0.05  # ordering should roughly help, never blow up
