@@ -228,18 +228,40 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
+        # chunk by cumulative token count so the (tokens x 64) bit matrix
+        # stays bounded (~128 MB) regardless of batch shape
+        max_chunk_tokens = 250_000
+
+        def fold_rows(arrs: list[np.ndarray]) -> np.ndarray:
+            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+            out = np.zeros(len(arrs), dtype=np.int64)
+            ne = np.nonzero(lens > 0)[0]
+            if ne.size == 0:
+                return out
+            flat = np.concatenate([arrs[i] for i in ne]).astype(np.uint64)
+            bits = ((flat[:, None] >> bit_idx) & np.uint64(1)).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens[ne])[:-1]))
+            sums = np.add.reduceat(bits, starts, axis=0)  # (n_nonempty, 64)
+            votes = 2 * sums - lens[ne][:, None]
+            sig_bits = (votes >= 0).astype(np.uint64)
+            out[ne] = ((sig_bits << bit_idx).sum(axis=1, dtype=np.uint64)).astype(np.int64)
+            return out
+
         for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["hs"]):
-                if hs is None or len(hs) == 0:
-                    continue
-                arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                bits = (arr[:, None] >> bit_idx) & np.uint64(1)  # (n_tokens, 64)
-                votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(arr)
-                sig = np.uint64(0)
-                sig_bits = (votes >= 0).astype(np.uint64)
-                sig = (sig_bits << bit_idx).sum(dtype=np.uint64)
-                out[i] = np.int64(sig)
+            arrs = [
+                np.asarray(h, dtype=np.int64) if h is not None else np.empty(0, np.int64)
+                for h in pdf["hs"]
+            ]
+            outs = []
+            i = 0
+            while i < len(arrs):
+                j, tok = i, 0
+                while j < len(arrs) and (tok == 0 or tok + len(arrs[j]) <= max_chunk_tokens):
+                    tok += len(arrs[j])
+                    j += 1
+                outs.append(fold_rows(arrs[i:j]))
+                i = j
+            out = np.concatenate(outs) if outs else np.zeros(0, dtype=np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
     return hashed.mapInPandas(fold, schema=_SIMHASH_SCHEMA)

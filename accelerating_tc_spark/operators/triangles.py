@@ -21,7 +21,6 @@ All variants return a 1-row DataFrame with column `triangles: long`.
 from __future__ import annotations
 
 import time
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -31,8 +30,8 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions.csr import CsrShard, intersect_count_csr
 from ..functions.intersect import (
-    intersect_count_adaptive,
     intersect_count_pairs,
+    membership_counts_flat,
     membership_counts_grouped,
 )
 from ..plans.blocking import replicate_adjacency, tag_edge_blocks, workload_balanced
@@ -176,8 +175,14 @@ def _blocked_partials(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     if hub_threshold is None:
-        avg = deg.agg(F.avg("degree")).first()[0] or 1.0
-        hub_threshold = max(96, int(8 * avg))
+        # a vertex breaks the cogroup only when its edges alone rival a
+        # block row's fair share: deg(h)/B edges land in each of its B
+        # tasks vs m/B² per task overall -> hub iff deg >= m/(2B). Routing
+        # merely-above-average vertices through the probe path costs more
+        # than it saves (measured: 8x-avg thresholds routed 80% of a Zipf
+        # graph's edges for a 2-3x slowdown).
+        m = oriented.count()
+        hub_threshold = max(96, m // (2 * n_blocks))
 
     hub_rows = (
         deg.where(F.col("degree") >= F.lit(hub_threshold))
@@ -227,7 +232,7 @@ def _blocked_partials(
         tag_edge_blocks(normal, n_blocks), replicate_adjacency(adj_nonhub, n_blocks)
     )
 
-    # hub route: ship the non-hub side's adjacency only; round-robin spread
+    # hub route: ship the non-hub side's adjacency only
     hubbed = flagged.where(F.col("_hs").isNotNull() | F.col("_hd").isNotNull())
     other = F.when(
         F.col("_hs").isNotNull() & F.col("_hd").isNull(), F.col("dst")
@@ -243,49 +248,80 @@ def _blocked_partials(
         "other",
         "left",
     )
-    # equal-WORK spread: per-row probe cost is |other_nbrs|, so bin rows by
-    # weighted workload quantiles (plans.blocking.workload_balanced — the
-    # Hu equal-work ranges) rather than by row count
-    spread = workload_balanced(
-        hub_edges.withColumn(
-            "workload", F.coalesce(F.size("other_nbrs"), F.lit(0)) + F.lit(1)
-        ),
-        spark.sparkContext.defaultParallelism,
-    ).drop("workload")
+    # equal-WORK spread (plans.blocking.workload_balanced — the Hu equal-work
+    # ranges): per-row probe cost is |other_nbrs| for single-hub rows and
+    # min(|N+(src)|, |N+(dst)|) for hub-hub rows (sizes from the tiny
+    # broadcastable hub-size table; hub-hub rows ship no arrays).
+    hub_szs = spark.createDataFrame(
+        [(int(v), len(a)) for v, a in hub_sets.items()], "vertex long, hsz long"
+    )
+    with_wl = (
+        hub_edges.join(
+            F.broadcast(hub_szs.select(F.col("vertex").alias("src"), F.col("hsz").alias("_sz_s"))),
+            "src",
+            "left",
+        )
+        .join(
+            F.broadcast(hub_szs.select(F.col("vertex").alias("dst"), F.col("hsz").alias("_sz_d"))),
+            "dst",
+            "left",
+        )
+        .withColumn(
+            "workload",
+            F.when(
+                F.col("src_is_hub") & F.col("dst_is_hub"),
+                F.least("_sz_s", "_sz_d"),
+            ).otherwise(F.coalesce(F.size("other_nbrs"), F.lit(0)))
+            + F.lit(1),
+        )
+    )
+    spread = workload_balanced(with_wl, spark.sparkContext.defaultParallelism).drop(
+        "workload", "_sz_s", "_sz_d"
+    )
 
-    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def probe(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         sets = bc.value
-        for pdf in batches:
+        empty = np.empty(0, dtype=np.int64)
+        for rb in batches:
             t0 = time.time()
+            tbl = pa.Table.from_batches([rb])
+            src = tbl.column("src").to_numpy(zero_copy_only=False)
+            dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+            s_hub = tbl.column("src_is_hub").to_numpy(zero_copy_only=False)
+            d_hub = tbl.column("dst_is_hub").to_numpy(zero_copy_only=False)
+            col = tbl.column("other_nbrs").combine_chunks()
+            # zero-copy flat layout: Arrow list buffers ARE (flat, lens)
+            lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+                zero_copy_only=False
+            )
+            flat = np.asarray(pc.list_flatten(col), dtype=np.int64)
+            rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
             total = 0
-            both = (pdf["src_is_hub"] & pdf["dst_is_hub"]).to_numpy()
+            # single-hub rows: probe shipped adjacency against broadcast set
+            # (hub-hub rows carry no arrays so they contribute nothing here)
+            hub_of = np.where(s_hub, src, dst)
+            total += int(membership_counts_flat(hub_of, flat, rows, sets).sum())
+            both = s_hub & d_hub
             if both.any():
-                # hub-hub edges: both sides in the broadcast (few rows —
-                # hubs are rare by construction)
-                for s, d in zip(
-                    pdf.loc[both, "src"].to_numpy(), pdf.loc[both, "dst"].to_numpy()
-                ):
-                    a = sets.get(int(s))
-                    b = sets.get(int(d))
-                    if a is not None and b is not None and len(a) and len(b):
-                        total += intersect_count_adaptive(a, b)
-            single = ~both
-            if single.any():
-                hub_of = np.where(
-                    pdf.loc[single, "src_is_hub"].to_numpy(),
-                    pdf.loc[single, "src"].to_numpy(),
-                    pdf.loc[single, "dst"].to_numpy(),
+                # hub-hub rows: both sides live in the broadcast; probe the
+                # dst sets (referenced, not copied) against the src sets
+                p_lists = [sets.get(int(d), empty) for d in dst[both]]
+                total += int(
+                    membership_counts_grouped(src[both], p_lists, sets).sum()
                 )
-                probes = [
-                    np.asarray(x, dtype=np.int64)
-                    if x is not None
-                    else np.empty(0, dtype=np.int64)
-                    for x in pdf.loc[single, "other_nbrs"]
-                ]
-                total += int(membership_counts_grouped(hub_of, probes, sets).sum())
-            yield pd.DataFrame({"triangles": [total], "task_s": [time.time() - t0]})
+            yield pa.record_batch(
+                {
+                    "triangles": pa.array([total], type=pa.int64()),
+                    "task_s": pa.array([time.time() - t0], type=pa.float64()),
+                }
+            )
 
-    hub_part = spread.mapInPandas(probe, schema=_PARTIAL_SCHEMA)
+    hub_part = spread.select(
+        "src", "dst", "src_is_hub", "dst_is_hub", "other_nbrs"
+    ).mapInArrow(probe, schema=_PARTIAL_SCHEMA)
     return cogroup_part.unionAll(hub_part)
 
 

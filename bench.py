@@ -101,6 +101,10 @@ def main() -> None:
         return scaling_single(int(sys.argv[sys.argv.index("--scaling-single") + 1]))
     if "--scaling" in sys.argv:
         return run_scaling()
+    if "--skew" in sys.argv:
+        return run_skew()
+    if "--cc-rounds" in sys.argv:
+        return run_cc_rounds()
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     t0 = time.time()
@@ -169,17 +173,21 @@ def scaling_single(cores: int) -> None:
 
 
 def run_scaling() -> None:
-    """Same TC job at N and 4N cores; efficiency = (T_N / T_4N) / 4."""
+    """Same TC job at every level in SPARK_GRAFT_SCALE_LEVELS (default
+    2,8,32); reports pairwise 4x efficiencies. The headline value is the
+    2->8 efficiency: a pure-CPU calibration on this sandbox (BENCH.md)
+    shows the BOX itself only sustains ~0.70 from 8->32 processes
+    (frequency/hypervisor capping) but ~0.96 from 2->8 — the engine must be
+    measured inside the machine's own linear range. The 8->32 number is
+    reported alongside so the hardware ceiling is data, not prose."""
     import subprocess
 
-    # Default N=2 (levels 2 vs 8): a pure-CPU calibration on this sandbox
-    # (BENCH.md) shows the BOX itself only sustains ~0.70 efficiency from
-    # 8->32 processes (frequency/hypervisor capping) but ~0.96 from 2->8 —
-    # the engine must be measured inside the machine's own linear range.
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-    n_big = 4 * n_small
+    levels = [
+        int(x)
+        for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(",")
+    ]
     results = {}
-    for cores in (n_small, n_big):
+    for cores in levels:
         # Pin the whole process tree (JVM, GC threads, Python workers) to
         # exactly `cores` CPUs — local[N] alone still lets GC/shuffle/worker
         # threads spill onto all CPUs, which inflates the small-N baseline
@@ -192,17 +200,122 @@ def run_scaling() -> None:
             cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
         out = subprocess.run(cmd, capture_output=True, text=True, check=True)
         results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-    eff = (results[n_small]["sec"] / results[n_big]["sec"]) / (n_big / n_small)
+    effs = {}
+    for a, b in zip(levels, levels[1:]):
+        effs[f"eff_{a}to{b}"] = round(
+            (results[a]["sec"] / results[b]["sec"]) / (b / a), 3
+        )
     out = {
         "metric": "tc_scaling_efficiency",
-        "value": round(eff, 3),
+        "value": next(iter(effs.values())),
         "unit": "ratio",
         "queries": {f"tc_blocked_local[{c}]": r["sec"] for c, r in results.items()},
         "sf": _sf_label(SF_DIR),
+        "efficiencies": effs,
         "detail": results,
-        "parity": results[n_small]["triangles"] == results[n_big]["triangles"],
+        "parity": len({r["triangles"] for r in results.values()}) == 1,
     }
     print(json.dumps(out))
+
+
+def run_skew() -> None:
+    """Hub-routing A/B on a planted-mega-hub Zipf graph: per-task kernel
+    max/median seconds and wall time with the hub route ON (auto threshold)
+    vs OFF (threshold=2^62) — the skew evidence for the blocked TC."""
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import prep, triangles
+    from accelerating_tc_spark.session import get_spark
+    from accelerating_tc_spark.sources import synthetic
+
+    spark = get_spark("bench_skew", cores=CPUS, shuffle_partitions=CPUS)
+    n_v = int(os.environ.get("SPARK_GRAFT_SKEW_V", str(200_000)))
+    n_e = int(os.environ.get("SPARK_GRAFT_SKEW_E", str(2_000_000)))
+    zipf = synthetic.zipf_edges_distributed(spark, n_v, n_e, s=1.0)
+    # planted mega-hub: vertex 0 adjacent to every 4th vertex
+    hub = spark.range(1, n_v, 4).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    canonical = prep.canonicalize_edges(zipf.union(hub)).cache()
+    n_edges = canonical.count()
+    oriented = prep.orient_by_degree(canonical).cache()
+    oriented.count()
+
+    def measure(hub_threshold):
+        t0 = time.time()
+        row = triangles.blocked_task_stats(
+            oriented, n_blocks=16, hub_threshold=hub_threshold
+        ).collect()[0]
+        return {
+            "wall_s": round(time.time() - t0, 3),
+            "triangles": row["triangles"],
+            "n_tasks": row["n_tasks"],
+            "max_task_s": row["max_task_s"],
+            "median_task_s": row["median_task_s"],
+            "skew_ratio": round(row["max_task_s"] / max(row["median_task_s"], 1e-9), 1),
+        }
+
+    off = measure(2**62)
+    on = measure(None)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "tc_blocked_skew_ab",
+                "value": on["wall_s"],
+                "unit": "sec",
+                "queries": {"hub_route_on": on["wall_s"], "hub_route_off": off["wall_s"]},
+                "sf": _sf_label(SF_DIR),
+                "detail": {"on": on, "off": off, "n_edges": n_edges},
+                "parity": on["triangles"] == off["triangles"],
+            }
+        )
+    )
+
+
+def run_cc_rounds() -> None:
+    """High-diameter round-count evidence: path graph, pointer-jumping CC vs
+    plain min-label propagation (capped)."""
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import components
+    from accelerating_tc_spark.session import get_spark
+
+    spark = get_spark("bench_cc", cores=CPUS, shuffle_partitions=CPUS)
+    n = int(os.environ.get("SPARK_GRAFT_CC_PATH_N", "4096"))
+    path = spark.range(0, n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    t0 = time.time()
+    jump = components.connected_components_run(spark, path, max_iterations=64)
+    jump_s = round(time.time() - t0, 3)
+    cap = 32
+    t0 = time.time()
+    try:
+        base = components.connected_components_run(
+            spark, path, max_iterations=cap, algorithm="minlabel"
+        )
+        base_rounds: float | str = base.iterations
+    except RuntimeError:
+        base_rounds = f">{cap} (diameter-bound, not converged)"
+    base_s = round(time.time() - t0, 3)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "cc_rounds_path_graph",
+                "value": jump.iterations,
+                "unit": "rounds",
+                "queries": {"jump_rounds": jump.iterations, "jump_s": jump_s, "minlabel_s": base_s},
+                "sf": _sf_label(SF_DIR),
+                "detail": {
+                    "path_vertices": n,
+                    "jump_converged": jump.converged,
+                    "minlabel_rounds": base_rounds,
+                },
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
