@@ -140,7 +140,10 @@ def _cogroup_partials(edges_b: DataFrame, adj_rep: DataFrame) -> DataFrame:
 
 
 def _blocked_partials(
-    oriented: DataFrame, n_blocks: int = 8, hub_threshold: int | None = None
+    oriented: DataFrame,
+    n_blocks: int = 8,
+    hub_threshold: int | None = None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Skew-aware blocked plan: per-task partial counts (triangles, task_s).
 
@@ -167,13 +170,17 @@ def _blocked_partials(
     an enormous threshold disables the hub route for A/B comparison.
     """
     spark = oriented.sparkSession
-    adj = prep.adjacency(oriented).cache()
-
-    deg = (
-        oriented.select(F.explode(F.array("src", "dst")).alias("vertex"))
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
+    if deg is None:
+        # callers that already computed degrees for the orientation should
+        # pass them in — total degree is orientation-invariant
+        deg = (
+            oriented.select(F.explode(F.array("src", "dst")).alias("vertex"))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+    stats = deg.agg(
+        F.sum("degree").alias("two_m"), F.max("degree").alias("max_deg")
+    ).first()
     if hub_threshold is None:
         # a vertex breaks the cogroup only when its edges alone rival a
         # block row's fair share: deg(h)/B edges land in each of its B
@@ -181,9 +188,18 @@ def _blocked_partials(
         # merely-above-average vertices through the probe path costs more
         # than it saves (measured: 8x-avg thresholds routed 80% of a Zipf
         # graph's edges for a 2-3x slowdown).
-        m = oriented.count()
+        m = int(stats["two_m"] or 0) // 2
         hub_threshold = max(96, m // (2 * n_blocks))
 
+    if stats["max_deg"] is None or stats["max_deg"] < hub_threshold:
+        # no hubs: pure bounded-shuffle cogroup, zero hub-path overhead
+        # (no adjacency caching, no broadcast, no edge flagging)
+        return _cogroup_partials(
+            tag_edge_blocks(oriented, n_blocks),
+            replicate_adjacency(prep.adjacency(oriented), n_blocks),
+        )
+
+    adj = prep.adjacency(oriented).cache()
     hub_rows = (
         deg.where(F.col("degree") >= F.lit(hub_threshold))
         .withColumnRenamed("vertex", "src")
@@ -326,23 +342,29 @@ def _blocked_partials(
 
 
 def triangle_count_blocked(
-    oriented: DataFrame, n_blocks: int = 8, hub_threshold: int | None = None
+    oriented: DataFrame,
+    n_blocks: int = 8,
+    hub_threshold: int | None = None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-shuffle, skew-aware block-pair triangle count (the at-scale
     strategy) — see _blocked_partials for the two-route plan."""
-    partials = _blocked_partials(oriented, n_blocks, hub_threshold)
+    partials = _blocked_partials(oriented, n_blocks, hub_threshold, deg=deg)
     return _as_long_result(
         partials.agg(F.coalesce(F.sum("triangles"), F.lit(0)).alias("triangles"))
     )
 
 
 def blocked_task_stats(
-    oriented: DataFrame, n_blocks: int = 8, hub_threshold: int | None = None
+    oriented: DataFrame,
+    n_blocks: int = 8,
+    hub_threshold: int | None = None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     """Skew diagnostics for the blocked plan: one row with the triangle sum
     plus max / median / total per-task kernel seconds. Used by bench to show
     max/median task time before vs after hub routing."""
-    partials = _blocked_partials(oriented, n_blocks, hub_threshold)
+    partials = _blocked_partials(oriented, n_blocks, hub_threshold, deg=deg)
     return partials.agg(
         F.coalesce(F.sum("triangles"), F.lit(0)).cast("long").alias("triangles"),
         F.count(F.lit(1)).alias("n_tasks"),
@@ -360,7 +382,8 @@ def count_triangles(
 ) -> DataFrame:
     """End-to-end pipeline: clean -> degree-orient -> count with the chosen strategy."""
     canonical = prep.canonicalize_edges(edges_raw)
-    oriented = prep.orient_by_degree(canonical)
+    deg = prep.degrees(canonical)
+    oriented = prep.orient_by_degree(canonical, deg)
     if strategy == "join":
         return triangle_count_join(oriented)
     if strategy == "array_intersect":
@@ -368,7 +391,11 @@ def count_triangles(
     if strategy == "kernel":
         return triangle_count_kernel(oriented)
     if strategy == "blocked":
-        return triangle_count_blocked(oriented, n_blocks=n_blocks, hub_threshold=hub_threshold)
+        # the degree table computed for the orientation doubles as the hub
+        # detector's input (total degree is orientation-invariant)
+        return triangle_count_blocked(
+            oriented, n_blocks=n_blocks, hub_threshold=hub_threshold, deg=deg
+        )
     raise ValueError(f"unknown strategy: {strategy}")
 
 
