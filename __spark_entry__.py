@@ -293,6 +293,17 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_THRESHOLD = 0.45
 
 
+def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH buckets + Hamming-1 multi-probe,
+    reranked exactly. Approximate by design (recall bound pinned vs brute
+    force in tests/test_similarity.py) -> rows-only check."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return similarity.ann_topk_lsh(emb, queries_df, dim=64, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact brute-force pairs (SQL-oracle-able); the LSH variant below must
     # reproduce these exactly (miss rate ~2e-6 per pair at this threshold).
@@ -388,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_pairs": _q_minhash_dedup,
         "simhash_near_dups": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
+        "ann_cosine_topk_lsh": _q_ann_topk_lsh,
         "embedding_near_dups": _q_emb_near_dups_exact,
         "embedding_near_dups_lsh": _q_emb_near_dups_lsh,
         "events_hourly": _q_events_hourly,

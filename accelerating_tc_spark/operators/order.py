@@ -171,6 +171,57 @@ def slashburn_order(
     return out.select("vertex", F.col("new_id").cast("long").alias("new_id"))
 
 
+def bfs_order(
+    spark: SparkSession, canonical: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """(vertex, new_id): BFS-level ordering (reference POrder bfsr family,
+    porder.cpp `bfsr_bisection` — the traversal-locality member of the
+    reorder suite). Sources are each component's minimum vertex id; new ids
+    rank by (BFS level, vertex id), so neighbors cluster by distance from
+    the source — the locality property BFS reorderings optimize.
+
+    Distributed frontier expansion: each round is one join + one aggregate;
+    rounds = graph diameter (bounded by max_rounds; unreached vertices get
+    the max level and sort last).
+    """
+    sym = prep.symmetrize(canonical).repartition(
+        spark.sparkContext.defaultParallelism, "src"
+    ).cache()
+    comps = components.connected_components(spark, canonical)
+    # level 0: each component's min vertex (its component label)
+    state = comps.select(
+        "vertex",
+        F.when(F.col("vertex") == F.col("component"), F.lit(0))
+        .otherwise(F.lit(None))
+        .cast("long")
+        .alias("level"),
+    ).localCheckpoint(eager=True)
+    for lvl in range(1, max_rounds + 1):
+        frontier = state.where(F.col("level") == lvl - 1).select("vertex")
+        if frontier.limit(1).count() == 0:
+            break
+        reached = (
+            sym.join(frontier.withColumnRenamed("vertex", "src"), "src")
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+        )
+        state = state.join(
+            reached.withColumn("_r", F.lit(True)), "vertex", "left"
+        ).select(
+            "vertex",
+            F.when(F.col("level").isNotNull(), F.col("level"))
+            .when(F.col("_r").isNotNull(), F.lit(lvl))
+            .cast("long")
+            .alias("level"),
+        ).localCheckpoint(eager=True)
+    filled = state.select(
+        "vertex", F.coalesce("level", F.lit(max_rounds + 1)).alias("level")
+    )
+    return dense_rank_ids(filled, [F.asc("level"), F.asc("vertex")]).select(
+        "vertex", "new_id"
+    )
+
+
 def compression_ratio(canonical: DataFrame, mapping: DataFrame | None = None) -> DataFrame:
     """A11: BSR compression-ratio diagnostic (reference comp_ratio,
     porder.cpp:295-351) — distinct 64-value base words per adjacency entry,

@@ -384,6 +384,12 @@ def count_triangles(
     canonical = prep.canonicalize_edges(edges_raw)
     deg = prep.degrees(canonical)
     oriented = prep.orient_by_degree(canonical, deg)
+    if strategy == "auto":
+        # BENCH.md §3 crossover: the bounded-shuffle blocked plan wins once
+        # wedge volume exceeds replication volume (avg degree >= 2*n_blocks);
+        # below that, the pure-JVM array_intersect wedge join is cheaper.
+        avg = deg.agg(F.avg("degree")).first()[0] or 0.0
+        strategy = "blocked" if avg >= 2 * n_blocks else "array_intersect"
     if strategy == "join":
         return triangle_count_join(oriented)
     if strategy == "array_intersect":

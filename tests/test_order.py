@@ -46,6 +46,29 @@ def test_slashburn_bijective_hubs_front(spark):
     assert rows[top] == 0
 
 
+def test_bfs_order_levels(spark):
+    # path graph 0-1-2-3-4 plus disjoint edge (10,11): BFS from each
+    # component's min vertex gives level = distance; ids rank (level, vertex)
+    edges = synthetic.edges_df(spark, [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)])
+    mapping = {r["vertex"]: r["new_id"] for r in order.bfs_order(spark, prep.canonicalize_edges(edges)).collect()}
+    assert sorted(mapping.values()) == list(range(7))
+    # level 0: vertices 0 and 10 (component minima), ordered by id
+    assert mapping[0] == 0 and mapping[10] == 1
+    # level 1: 1 and 11; level 2: 2; ...
+    assert mapping[1] == 2 and mapping[11] == 3
+    assert mapping[2] == 4 and mapping[3] == 5 and mapping[4] == 6
+
+
+def test_auto_strategy_parity(spark):
+    from accelerating_tc_spark.operators import triangles
+
+    edges = synthetic.powerlaw_edges(spark, n_vertices=150, n_edges=900, seed=2)
+    pairs = [(r["src"], r["dst"]) for r in prep.canonicalize_edges(edges).collect()]
+    expected = synthetic.numpy_triangle_count(pairs)
+    got = triangles.count_triangles(edges, strategy="auto", n_blocks=4).collect()[0]["triangles"]
+    assert got == expected
+
+
 def test_compression_ratio_known(spark):
     # out lists: 0 -> [1, 2, 64] = bases {0, 1} -> 2 distinct
     # in  lists: 1 -> [0], 2 -> [0], 64 -> [0]  -> 3 distinct; m = 3
