@@ -133,8 +133,13 @@ def iterate(
             persisted = new_state.localCheckpoint(eager=True)
 
         delta = delta_fn(state, persisted) if delta_fn is not None else None
-        # one job for the whole lineage record: rows = sum of the histogram
-        hist = _partition_histogram(persisted)
+        # per-partition lineage histogram: one extra job per round, recorded
+        # only when a checkpoint dir asked for durable lineage — unmetered
+        # in-memory loops (bench hot paths) skip the pass entirely
+        if lineage_path:
+            hist = _partition_histogram(persisted)
+        else:
+            hist = {}
         m = IterationMetrics(
             iteration=i,
             rows=sum(hist.values()),
