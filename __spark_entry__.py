@@ -147,6 +147,12 @@ def _q_orientation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts + local clustering coefficient."""
+    edges = tpch_graph.copurchase_edges(spark, sf_dir)
+    return triangles.local_clustering(edges).orderBy("vertex")
+
+
 def _q_peel_orientation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 proper: A-direction threshold peel (multi-round frontier levels) on
     the co-purchase graph; reports the reference's balance metric for the
@@ -273,6 +279,21 @@ def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+def _q_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> dedup groups via connected components."""
+    return dedup.near_dup_groups(spark, _docs(spark, sf_dir), threshold=0.8).orderBy(
+        "doc_id"
+    )
+
+
+def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-cleaning pipeline: quality + language + exact-dedup
+    canonical-copy gates."""
+    return text.clean_corpus(
+        _docs(spark, sf_dir), min_tokens=50, min_quality=0.2, langs=("en",)
+    ).orderBy("doc_id")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
         "doc_a", "doc_b"
@@ -381,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
+        "local_clustering": _q_local_clustering,
         "orientation_balance": _q_orientation_balance,
         "peel_orientation_balance": _q_peel_orientation_balance,
         "kclique4": _q_kclique4,
@@ -397,6 +419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": _q_exact_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_dedup_pairs": _q_minhash_dedup,
+        "near_dup_groups": _q_near_dup_groups,
+        "clean_corpus": _q_clean_corpus,
         "simhash_near_dups": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
         "ann_cosine_topk_lsh": _q_ann_topk_lsh,
@@ -436,9 +460,9 @@ def _lang_score_sql(lang: str) -> str:
     return f"len(list_filter(toks, x -> list_contains([{words}], x)))"
 
 
-# Exact word-3-shingle Jaccard pairs >= 0.8 (shared by the exact and the
-# minhash-LSH-verified variants).
-_JACCARD_ORACLE = _TOKS_CTE + """
+# Exact word-3-shingle Jaccard pairs >= 0.8 as a reusable CTE (shared by the
+# exact variant, the minhash-LSH-verified variant, and the dedup-groups CC).
+_JACCARD_PAIRS_CTE = _TOKS_CTE + """
 , sh AS (
   SELECT doc_id, unnest(list_distinct(
            list_transform(range(1, GREATEST(len(toks) - 1, 1)),
@@ -452,14 +476,37 @@ _JACCARD_ORACLE = _TOKS_CTE + """
   FROM sh a JOIN sh b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
+), jpairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.8
 )
-SELECT doc_a, doc_b,
-       ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.8
-ORDER BY doc_a, doc_b
+"""
+
+_JACCARD_ORACLE = _JACCARD_PAIRS_CTE + """
+SELECT doc_a, doc_b, jaccard FROM jpairs ORDER BY doc_a, doc_b
+"""
+
+# dedup groups: min reachable doc id over the near-dup pair graph
+_DUP_GROUPS_ORACLE = _JACCARD_PAIRS_CTE + """
+, psym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+), pverts AS (SELECT DISTINCT src AS vertex FROM psym)
+, walk AS (
+  WITH RECURSIVE reach(vertex, seen) AS (
+    SELECT vertex, vertex AS seen FROM pverts
+    UNION
+    SELECT r.vertex, e.dst AS seen
+    FROM reach r JOIN psym e ON e.src = r.seen
+  )
+  SELECT vertex, MIN(seen) AS group_id FROM reach GROUP BY vertex
+)
+SELECT vertex AS doc_id, group_id FROM walk ORDER BY doc_id
 """
 
 _NEAR_DUP_ORACLE = f"""
@@ -521,6 +568,27 @@ FROM edges
 , od AS (SELECT src, COUNT(*)::DOUBLE AS out_degree FROM oriented GROUP BY src)
 SELECT ROUND(SUM(ABS(out_degree - (SELECT AVG(out_degree) FROM od))), 6) AS balance_cost
 FROM od
+""",
+        "local_clustering": _EDGES_DEG_CTE
+        + """
+, tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+), corners AS (
+  SELECT u AS vertex FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT w FROM tri
+), tcnt AS (SELECT vertex, COUNT(*) AS tri_cnt FROM corners GROUP BY vertex)
+SELECT d.vertex,
+       d.degree::BIGINT AS degree,
+       COALESCE(t.tri_cnt, 0)::BIGINT AS tri_cnt,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(t.tri_cnt, 0) / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS clustering
+FROM degs d LEFT JOIN tcnt t USING (vertex)
+ORDER BY d.vertex
 """,
         "kclique4": kclique.kclique_oracle_sql(_EDGES_SPARSE_CTE, 4),
         "maximal_cliques": maxclique.maximal_clique_oracle_sql(_EDGES_SPARSE_CTE),
@@ -615,6 +683,45 @@ WITH fp AS (
 SELECT doc_id, group_id FROM g WHERE gs > 1 ORDER BY doc_id
 """,
         "ngram_jaccard_pairs": _JACCARD_ORACLE,
+        "near_dup_groups": _DUP_GROUPS_ORACLE,
+        "clean_corpus": _TOKS_CTE
+        + f"""
+, stats AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         ROUND(LEAST(len(toks) / 100.0, 1.0)
+               * (1.0 - LEAST((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                              / GREATEST(length(text), 1) * 4, 1.0)), 6) AS quality_score
+  FROM toks
+), scores AS (
+  SELECT doc_id,
+         {_lang_score_sql('de')} AS s_de,
+         {_lang_score_sql('en')} AS s_en,
+         {_lang_score_sql('es')} AS s_es,
+         {_lang_score_sql('fr')} AS s_fr
+  FROM toks
+), lang AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) < 1 THEN 'und'
+              WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+              WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+              WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM scores
+), fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM documents
+), grp AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS group_id FROM fp
+)
+SELECT s.doc_id, l.pred_lang, s.n_tokens, s.quality_score
+FROM stats s
+JOIN lang l USING (doc_id)
+JOIN grp g USING (doc_id)
+WHERE s.n_tokens >= 50 AND s.quality_score >= 0.2
+  AND l.pred_lang = 'en' AND g.doc_id = g.group_id
+ORDER BY s.doc_id
+""",
         # minhash+LSH verifies candidates with the same exact jaccard;
         # candidate recall at j>=0.8 is ~0.9997 so results equal the exact
         # join (a miss would surface here — that's the claim being checked).

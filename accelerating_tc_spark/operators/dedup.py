@@ -210,6 +210,31 @@ def minhash_dedup_pairs(
     )
 
 
+def near_dup_groups(
+    spark,
+    documents: DataFrame,
+    threshold: float = 0.8,
+    k: int = 64,
+    n: int = 3,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, group_id): connected components over the verified near-dup
+    pair graph — the step that turns pairwise matches into dedup DECISIONS
+    (keep one doc per group). group_id = smallest doc_id reachable through
+    near-dup pairs; docs with no near-dup partner are absent (singletons
+    need no decision)."""
+    from . import components
+
+    pairs = minhash_dedup_pairs(
+        documents, threshold=threshold, k=k, n=n, bands=bands, seed=seed
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = components.connected_components(spark, pairs)
+    return comp.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("group_id")
+    )
+
+
 # -------------------------------------------------------------- SimHash
 
 _SIMHASH_SCHEMA = "doc_id long, simhash long"

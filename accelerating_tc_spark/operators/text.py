@@ -101,6 +101,38 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def clean_corpus(
+    documents: DataFrame,
+    min_tokens: int = 50,
+    min_quality: float = 0.2,
+    langs: tuple[str, ...] = ("en",),
+) -> DataFrame:
+    """The canonical training-data cleaning pipeline, composed from the
+    scoring + dedup operators: keep documents that (a) pass the length and
+    quality gates, (b) are in an accepted language, and (c) are the
+    canonical (minimum-id) copy within their exact-duplicate group.
+    Returns (doc_id, pred_lang, n_tokens, quality_score)."""
+    from . import dedup
+
+    stats = doc_stats(documents).select("doc_id", "n_tokens", "quality_score")
+    lang = lang_id(documents).select("doc_id", "pred_lang")
+    non_canonical_dups = dedup.exact_duplicate_groups(documents).where(
+        F.col("doc_id") != F.col("group_id")
+    )
+    return (
+        documents.select("doc_id")
+        .join(stats, "doc_id")
+        .join(lang, "doc_id")
+        .where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality)
+            & F.col("pred_lang").isin(*langs)
+        )
+        .join(non_canonical_dups, "doc_id", "left_anti")
+        .select("doc_id", "pred_lang", "n_tokens", "quality_score")
+    )
+
+
 _WINNOW_SCHEMA = "doc_id long, minhash_fp long"
 _B = np.uint64(1099511628211)  # FNV-ish rolling base (public constant)
 

@@ -405,6 +405,26 @@ def count_triangles(
     raise ValueError(f"unknown strategy: {strategy}")
 
 
+def local_clustering(edges_raw: DataFrame) -> DataFrame:
+    """(vertex, degree, tri_cnt, clustering) — per-vertex triangle counts and
+    the local clustering coefficient 2T(v)/(d(v)(d(v)-1)); 0.0 for degree<2.
+    SQL-expressible (3-way-join corners), so fully oracle-checkable."""
+    canonical = prep.canonicalize_edges(edges_raw)
+    deg = prep.degrees(canonical)
+    oriented = prep.orient_by_degree(canonical, deg)
+    tri = per_vertex_triangle_counts(oriented)
+    d = F.col("degree")
+    t = F.coalesce(F.col("tri_cnt"), F.lit(0))
+    return deg.join(tri, "vertex", "left").select(
+        "vertex",
+        d.cast("long").alias("degree"),
+        t.cast("long").alias("tri_cnt"),
+        F.when(d >= 2, F.round(2.0 * t / (d * (d - 1)), 6)).otherwise(F.lit(0.0)).alias(
+            "clustering"
+        ),
+    )
+
+
 def per_vertex_triangle_counts(oriented: DataFrame) -> DataFrame:
     """(vertex, tri_cnt) — triangles incident to each vertex, via the same
     DAG join; every triangle (u,v,w) credits all three corners."""

@@ -138,3 +138,43 @@ def test_simhash_near_dups(spark):
     }
     assert pairs[(0, 2)] == 0
     assert (0, 1) in pairs  # near-dup within a few bits
+
+
+def test_near_dup_groups_transitive(spark):
+    """A~B and B~C near-dups must land in one group even if A~C misses the
+    threshold (transitive closure via CC)."""
+    from accelerating_tc_spark.operators import dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    rows = [
+        (1, base),
+        (2, base + " extra tail words here"),
+        (3, base + " extra tail words here and even more drift appended"),
+        (4, "completely different text about spark engines " * 20),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    groups = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.near_dup_groups(spark, docs, threshold=0.5).collect()
+    }
+    assert groups.get(1) == 1 and groups.get(2) == 1 and groups.get(3) == 1
+    assert 4 not in groups  # no near-dup partner -> no decision needed
+
+
+def test_clean_corpus_gates(spark):
+    from accelerating_tc_spark.operators import text as T
+
+    en = "the quick brown fox and the lazy dog that is for with a " * 10
+    rows = [
+        (1, en),                          # passes
+        (2, en),                          # exact dup of 1 -> dropped
+        (3, "der die das und ist nicht ein mit " * 12),  # German -> dropped
+        (4, "short text"),                # too short -> dropped
+        (5, en + " unique suffix tokens"),  # passes (not an exact dup)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in T.clean_corpus(docs, min_tokens=50, min_quality=0.0).collect()
+    )
+    assert kept == [1, 5]

@@ -92,3 +92,14 @@ def test_per_vertex_counts_sum_to_3x(spark):
     pv = triangles.per_vertex_triangle_counts(oriented)
     total = pv.groupBy().sum("tri_cnt").collect()[0][0]
     assert total == 3 * expected
+
+
+def test_local_clustering_known(spark):
+    # triangle 0-1-2 plus pendant edge (2,3): clustering 1.0 for 0 and 1,
+    # 2/ (3*2/2*...) -> vertex 2 has degree 3, 1 triangle -> 2*1/(3*2)=1/3
+    edges = synthetic.edges_df(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    rows = {r["vertex"]: r for r in triangles.local_clustering(edges).collect()}
+    assert rows[0]["clustering"] == 1.0 and rows[0]["tri_cnt"] == 1
+    assert rows[1]["clustering"] == 1.0
+    assert abs(rows[2]["clustering"] - round(1 / 3, 6)) < 1e-9
+    assert rows[3]["clustering"] == 0.0 and rows[3]["tri_cnt"] == 0
