@@ -40,6 +40,7 @@ from accelerating_tc_spark.operators import (  # noqa: E402
     subgraph,
     text,
     triangles,
+    truss,
 )
 from accelerating_tc_spark.session import load_tables  # noqa: E402
 from accelerating_tc_spark.sources import tpch_graph  # noqa: E402
@@ -200,6 +201,22 @@ def _q_subgraph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = verts.select("vertex", (F.col("vertex") % 4).alias("label"))
     return subgraph.subgraph_match_count(edges, labels, _SM_QUERY_LABELS, _SM_QUERY_EDGES)
+
+
+def _q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge triangle support on the sparsified graph (the k-truss
+    peeling criterion; SQL-expressible as common-neighbor counts)."""
+    canonical = prep.canonicalize_edges(_sparse_edges(spark, sf_dir))
+    return truss.edge_support(canonical).orderBy("src", "dst")
+
+
+def _q_ktruss4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss size (edges whose every member closes >= 2 triangles within
+    the surviving subgraph). Fixpoint peel -> rows-only; exactness pinned
+    vs a python oracle in tests/test_truss.py."""
+    canonical = prep.canonicalize_edges(_sparse_edges(spark, sf_dir))
+    kept = truss.ktruss(spark, canonical, k=4)
+    return kept.agg(F.count(F.lit(1)).cast("long").alias("n_truss_edges"))
 
 
 def _q_edge_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,6 +425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kclique4": _q_kclique4,
         "maximal_cliques": _q_maximal_cliques,
         "subgraph_match": _q_subgraph_match,
+        "edge_support": _q_edge_support,
+        "ktruss4": _q_ktruss4,
         "edge_workload_total": _q_edge_workload,
         "bsr_compression": _q_bsr_compression,
         "web_edges": _q_web_edges,
@@ -592,6 +611,22 @@ ORDER BY d.vertex
 """,
         "kclique4": kclique.kclique_oracle_sql(_EDGES_SPARSE_CTE, 4),
         "maximal_cliques": maxclique.maximal_clique_oracle_sql(_EDGES_SPARSE_CTE),
+        "edge_support": _EDGES_SPARSE_CTE
+        + """
+, sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+), adj AS (
+  SELECT src AS v, list(dst ORDER BY dst) AS nbrs FROM sym GROUP BY src
+)
+SELECT e.src, e.dst,
+       len(list_intersect(a.nbrs, b.nbrs))::INT AS support
+FROM edges e
+JOIN adj a ON a.v = e.src
+JOIN adj b ON b.v = e.dst
+ORDER BY e.src, e.dst
+""",
+        # ktruss4: fixpoint edge peeling is not reasonably SQL-expressible ->
+        # rows-only; python-oracle parity in tests/test_truss.py.
         "subgraph_match": subgraph.subgraph_match_oracle_sql(
             _EDGES_SPARSE_CTE,
             """

@@ -132,6 +132,9 @@ def main() -> None:
 SCALE_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALE_V", str(100_000)))
 SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_E", str(6_000_000)))
 SCALE_ZIPF_S = float(os.environ.get("SPARK_GRAFT_SCALE_S", "0.5"))
+# n_blocks is a DATASET parameter (cal_part_num analog): fixed across levels
+# so every level runs the identical job.
+SCALE_BLOCKS = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "8"))
 
 
 def scaling_single(cores: int) -> None:
@@ -155,12 +158,12 @@ def scaling_single(cores: int) -> None:
     # parallelism varies. The cached degree table feeds hub detection so
     # graph prep stays outside the measured window.
     for _ in range(2):
-        triangles.triangle_count_blocked(oriented, n_blocks=8, deg=deg).collect()
+        triangles.triangle_count_blocked(oriented, n_blocks=SCALE_BLOCKS, deg=deg).collect()
     dt = float("inf")
     tri = 0
     for _ in range(3):
         t0 = time.time()
-        tri = triangles.triangle_count_blocked(oriented, n_blocks=8, deg=deg).collect()[0][
+        tri = triangles.triangle_count_blocked(oriented, n_blocks=SCALE_BLOCKS, deg=deg).collect()[0][
             "triangles"
         ]
         dt = min(dt, time.time() - t0)
