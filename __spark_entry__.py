@@ -78,12 +78,13 @@ _EDGES_DEG_CTE = _EDGES_CTE + """
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact triangle count of the
-    co-purchase graph via the bounded-shuffle blocked strategy."""
+    co-purchase graph via the bounded-shuffle blocked strategy (block count
+    auto-derived from cores + adjacency size, the cal_part_num analog)."""
     edges = tpch_graph.copurchase_edges(spark, "/root/testdata/sf0.001")
-    return triangles.count_triangles(edges, strategy="blocked", n_blocks=4)
+    return triangles.count_triangles(edges, strategy="blocked")
 
 
-def _q_tc(strategy: str, n_blocks: int = 8):
+def _q_tc(strategy: str, n_blocks: int | None = None):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges = tpch_graph.copurchase_edges(spark, sf_dir)
         return triangles.count_triangles(edges, strategy=strategy, n_blocks=n_blocks)
@@ -94,9 +95,9 @@ def _q_tc(strategy: str, n_blocks: int = 8):
 def _q_tc_blocked_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked TC on the planted-mega-hub graph (vertex 1 adjacent to every
     part): exercises the hub route (broadcast bitset/galloping probes) —
-    must agree exactly with the plain 3-way-join oracle."""
+    must agree exactly with the plain 3-way-join oracle. Auto-B."""
     edges = tpch_graph.copurchase_hub_edges(spark, sf_dir)
-    return triangles.count_triangles(edges, strategy="blocked", n_blocks=8)
+    return triangles.count_triangles(edges, strategy="blocked")
 
 
 def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:

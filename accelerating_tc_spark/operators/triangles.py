@@ -34,7 +34,12 @@ from ..functions.intersect import (
     membership_counts_flat,
     membership_counts_grouped,
 )
-from ..plans.blocking import replicate_adjacency, tag_edge_blocks, workload_balanced
+from ..plans.blocking import (
+    auto_n_blocks,
+    replicate_adjacency,
+    tag_edge_blocks,
+    workload_balanced,
+)
 from . import prep
 
 
@@ -141,11 +146,16 @@ def _cogroup_partials(edges_b: DataFrame, adj_rep: DataFrame) -> DataFrame:
 
 def _blocked_partials(
     oriented: DataFrame,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     hub_threshold: int | None = None,
     deg: DataFrame | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, list[DataFrame], int]:
     """Skew-aware blocked plan: per-task partial counts (triangles, task_s).
+
+    Returns (partials, cached_relations_to_unpersist, chosen_n_blocks).
+    n_blocks=None auto-derives B from cores + adjacency size
+    (plans.blocking.auto_n_blocks, the `cal_part_num` analog); an explicit
+    int pins it (A/B tests, cross-round comparability).
 
     Two physical routes, split by TOTAL degree (the number of edges that
     reference a vertex's adjacency — in-degree is NOT bounded by the degree
@@ -181,6 +191,10 @@ def _blocked_partials(
     stats = deg.agg(
         F.sum("degree").alias("two_m"), F.max("degree").alias("max_deg")
     ).first()
+    if n_blocks is None:
+        n_blocks = auto_n_blocks(
+            spark.sparkContext.defaultParallelism, int(stats["two_m"] or 0) // 2
+        )
     if hub_threshold is None:
         # a vertex breaks the cogroup only when its edges alone rival a
         # block row's fair share: deg(h)/B edges land in each of its B
@@ -194,10 +208,11 @@ def _blocked_partials(
     if stats["max_deg"] is None or stats["max_deg"] < hub_threshold:
         # no hubs: pure bounded-shuffle cogroup, zero hub-path overhead
         # (no adjacency caching, no broadcast, no edge flagging)
-        return _cogroup_partials(
+        partials = _cogroup_partials(
             tag_edge_blocks(oriented, n_blocks),
             replicate_adjacency(prep.adjacency(oriented), n_blocks),
         )
+        return partials, [], n_blocks
 
     adj = prep.adjacency(oriented).cache()
     hub_rows = (
@@ -219,9 +234,10 @@ def _blocked_partials(
         budget -= len(nbrs)
 
     if not hub_sets:
-        return _cogroup_partials(
+        partials = _cogroup_partials(
             tag_edge_blocks(oriented, n_blocks), replicate_adjacency(adj, n_blocks)
         )
+        return partials, [adj], n_blocks
 
     bc = spark.sparkContext.broadcast(hub_sets)
     hub_vdf = spark.createDataFrame(
@@ -338,49 +354,65 @@ def _blocked_partials(
     hub_part = spread.select(
         "src", "dst", "src_is_hub", "dst_is_hub", "other_nbrs"
     ).mapInArrow(probe, schema=_PARTIAL_SCHEMA)
-    return cogroup_part.unionAll(hub_part)
+    return cogroup_part.unionAll(hub_part), [adj], n_blocks
 
 
 def triangle_count_blocked(
     oriented: DataFrame,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     hub_threshold: int | None = None,
     deg: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded-shuffle, skew-aware block-pair triangle count (the at-scale
-    strategy) — see _blocked_partials for the two-route plan."""
-    partials = _blocked_partials(oriented, n_blocks, hub_threshold, deg=deg)
-    return _as_long_result(
-        partials.agg(F.coalesce(F.sum("triangles"), F.lit(0)).alias("triangles"))
-    )
+    strategy) — see _blocked_partials for the two-route plan. The 1-row
+    result is materialized eagerly so the plan's internal caches (hub-route
+    adjacency) are released before returning — repeated counts never
+    accumulate cached relations."""
+    spark = oriented.sparkSession
+    partials, caches, _ = _blocked_partials(oriented, n_blocks, hub_threshold, deg=deg)
+    row = partials.agg(F.coalesce(F.sum("triangles"), F.lit(0)).alias("t")).first()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame([(int(row["t"] or 0),)], "triangles long")
 
 
 def blocked_task_stats(
     oriented: DataFrame,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     hub_threshold: int | None = None,
     deg: DataFrame | None = None,
 ) -> DataFrame:
-    """Skew diagnostics for the blocked plan: one row with the triangle sum
-    plus max / median / total per-task kernel seconds. Used by bench to show
-    max/median task time before vs after hub routing."""
-    partials = _blocked_partials(oriented, n_blocks, hub_threshold, deg=deg)
-    return partials.agg(
+    """Skew diagnostics for the blocked plan: one row with the triangle sum,
+    the (auto-)chosen block count, and max / median / total per-task kernel
+    seconds. Used by bench to show max/median task time before vs after hub
+    routing, and to record the auto-B choice per scaling level."""
+    spark = oriented.sparkSession
+    partials, caches, chosen_b = _blocked_partials(oriented, n_blocks, hub_threshold, deg=deg)
+    row = partials.agg(
         F.coalesce(F.sum("triangles"), F.lit(0)).cast("long").alias("triangles"),
         F.count(F.lit(1)).alias("n_tasks"),
         F.round(F.max("task_s"), 4).alias("max_task_s"),
         F.round(F.expr("percentile(task_s, 0.5)"), 4).alias("median_task_s"),
         F.round(F.sum("task_s"), 4).alias("total_task_s"),
+    ).first()
+    for c in caches:
+        c.unpersist()
+    return spark.createDataFrame(
+        [row.asDict() | {"n_blocks": chosen_b}],
+        "triangles long, n_tasks long, max_task_s double, median_task_s double, "
+        "total_task_s double, n_blocks int",
     )
 
 
 def count_triangles(
     edges_raw: DataFrame,
     strategy: str = "blocked",
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     hub_threshold: int | None = None,
 ) -> DataFrame:
-    """End-to-end pipeline: clean -> degree-orient -> count with the chosen strategy."""
+    """End-to-end pipeline: clean -> degree-orient -> count with the chosen
+    strategy. n_blocks=None auto-derives the block count (cal_part_num
+    analog); pass an int to pin it."""
     canonical = prep.canonicalize_edges(edges_raw)
     deg = prep.degrees(canonical)
     oriented = prep.orient_by_degree(canonical, deg)
@@ -388,8 +420,13 @@ def count_triangles(
         # BENCH.md §3 crossover: the bounded-shuffle blocked plan wins once
         # wedge volume exceeds replication volume (avg degree >= 2*n_blocks);
         # below that, the pure-JVM array_intersect wedge join is cheaper.
-        avg = deg.agg(F.avg("degree")).first()[0] or 0.0
-        strategy = "blocked" if avg >= 2 * n_blocks else "array_intersect"
+        row = deg.agg(F.avg("degree").alias("avg"), F.sum("degree").alias("two_m")).first()
+        avg = row["avg"] or 0.0
+        b_eff = n_blocks or auto_n_blocks(
+            edges_raw.sparkSession.sparkContext.defaultParallelism,
+            int(row["two_m"] or 0) // 2,
+        )
+        strategy = "blocked" if avg >= 2 * b_eff else "array_intersect"
     if strategy == "join":
         return triangle_count_join(oriented)
     if strategy == "array_intersect":

@@ -18,8 +18,39 @@ degree skew across blocks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def auto_n_blocks(
+    cores: int,
+    n_adj_entries: int,
+    task_budget_bytes: int = 256 << 20,
+    min_blocks: int = 4,
+    max_blocks: int = 1024,
+) -> int:
+    """Derive the block count from parallelism + shard size — the
+    `cal_part_num` analog (reference tricore/src/tricount_gpu.cu:103-115
+    derives partition count from device memory; here the two binding
+    resources are straggler amortization and per-task memory):
+
+    - grow B until B² >= 8·cores: B² block-pair tasks must comfortably
+      out-number the cores or size variance leaves cores starved behind
+      stragglers (measured, BENCH.md §1b: 22.0s at B=8 -> 7.5s at B=16 on
+      32 cores; B=8 vs 16 is a wash on 8 cores — exactly the 8× rule),
+    - grow B until a task's working set (two adjacency shards,
+      ~2·entries/B int64s) fits the task budget — the memory bound that
+      keeps the plan alive at 100× data.
+
+    Shuffle volume is |E| + 2B·|adj|, linear in B — so B is grown only as
+    far as the two rules demand, never "as big as possible".
+    """
+    b = min_blocks
+    while b * b < 8 * cores and b < max_blocks:
+        b *= 2
+    while (16 * n_adj_entries) // b > task_budget_bytes and b < max_blocks:
+        b *= 2
+    return b
 
 
 def block_of(col: str | F.Column, n_blocks: int) -> F.Column:
@@ -113,35 +144,43 @@ def workload_balanced(
     bin_col = F.lit(0)
     for b in boundaries:
         bin_col = bin_col + (F.col("workload") > F.lit(b)).cast("int")
-    # range partitioning never splits equal keys, so each equal-work bin
-    # lands whole in one partition — bins ARE the reference's work ranges
+    # Deterministic bin -> partition placement: repartitionByRange's sampler
+    # equalizes ROW counts, so it can merge two row-light (= work-heavy)
+    # bins into one partition — re-creating the imbalance the weighted
+    # quantiles just removed. Instead each bin id is remapped to a label
+    # chosen so that pmod(murmur3(label), n) == bin, making Spark's hash
+    # repartitioning an IDENTITY partitioner over bins.
+    labels = _bin_labels(df.sparkSession, n_partitions)
+    lbl_arr = F.array(*[F.lit(int(x)).cast("long") for x in labels])
     return (
-        df.withColumn("_wbin", bin_col)
-        .repartitionByRange(n_partitions, "_wbin")
-        .drop("_wbin")
+        df.withColumn("_lbl", F.element_at(lbl_arr, bin_col.cast("int") + 1))
+        .repartition(n_partitions, F.col("_lbl"))
+        .drop("_lbl")
     )
 
 
-def hub_vertices(deg: DataFrame, threshold: int) -> DataFrame:
-    """Vertices whose degree exceeds the hub threshold (Bisson big-row path,
-    reference Bisson/tc.cu:36-87). Used for salting/broadcast decisions."""
-    return deg.where(F.col("degree") >= threshold).select("vertex", "degree")
+_BIN_LABEL_CACHE: dict[tuple[str, int], list[int]] = {}
 
 
-def salt_edges_by_hub(oriented: DataFrame, hubs: DataFrame, n_salts: int) -> DataFrame:
-    """Add a salt column that splits rows keyed by a hub dst into n_salts
-    sub-keys; non-hub rows get salt 0. Downstream joins use (dst, salt) and
-    aggregate twice (per-salt partials, then final) — two-level count merge.
+def _bin_labels(spark: SparkSession, n_partitions: int) -> list[int]:
+    """label[p] = smallest long with pmod(murmur3_seed42(label), n) == p.
+
+    Computed with one tiny Spark job (the JVM's own hash — no Python
+    reimplementation to drift) and cached per (app, n). 64·n candidates miss
+    a residue with probability ~n·e^-64; the range quadruples until total.
     """
-    hub_flag = hubs.select(F.col("vertex").alias("dst"), F.lit(True).alias("is_hub"))
-    return (
-        oriented.join(F.broadcast(hub_flag), "dst", "left")
-        .withColumn(
-            "salt",
-            F.when(
-                F.col("is_hub").isNotNull(),
-                F.pmod(F.hash("src"), F.lit(n_salts)).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-        .drop("is_hub")
-    )
+    key = (spark.sparkContext.applicationId, n_partitions)
+    if key not in _BIN_LABEL_CACHE:
+        found: dict[int, int] = {}
+        probe = 64 * n_partitions
+        while len(found) < n_partitions:
+            rows = (
+                spark.range(0, probe)
+                .groupBy(F.pmod(F.hash("id"), F.lit(n_partitions)).alias("p"))
+                .agg(F.min("id").alias("id"))
+                .collect()
+            )
+            found = {int(r["p"]): int(r["id"]) for r in rows}
+            probe *= 4
+        _BIN_LABEL_CACHE[key] = [found[p] for p in range(n_partitions)]
+    return _BIN_LABEL_CACHE[key]

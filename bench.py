@@ -74,7 +74,7 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]
 
     tri = timed(
         "tc_blocked",
-        lambda: triangles.triangle_count_blocked(oriented, n_blocks=16).collect()[0]["triangles"],
+        lambda: triangles.triangle_count_blocked(oriented).collect()[0]["triangles"],
     )
     timed(
         "tc_array_intersect",
@@ -91,6 +91,11 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]
     extras["n_edges"] = n_edges
     extras["triangles"] = tri
     extras["triangles_per_sec"] = round(tri / times["tc_blocked"], 1) if times["tc_blocked"] else 0
+    from accelerating_tc_spark.plans.blocking import auto_n_blocks
+
+    extras["tc_n_blocks_auto"] = auto_n_blocks(
+        spark.sparkContext.defaultParallelism, n_edges
+    )
     return times, extras
 
 
@@ -132,9 +137,12 @@ def main() -> None:
 SCALE_VERTICES = int(os.environ.get("SPARK_GRAFT_SCALE_V", str(100_000)))
 SCALE_EDGES = int(os.environ.get("SPARK_GRAFT_SCALE_E", str(6_000_000)))
 SCALE_ZIPF_S = float(os.environ.get("SPARK_GRAFT_SCALE_S", "0.5"))
-# n_blocks is a DATASET parameter (cal_part_num analog): fixed across levels
-# so every level runs the identical job.
-SCALE_BLOCKS = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "8"))
+# n_blocks: "auto" (default) lets each level derive B from its own core
+# count + the adjacency size — the cal_part_num analog is now the primary
+# configuration. Set an int (e.g. 8) to pin B across levels for
+# cross-round comparability with the r1/r2 tables.
+_SCALE_BLOCKS_RAW = os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "auto")
+SCALE_BLOCKS = None if _SCALE_BLOCKS_RAW == "auto" else int(_SCALE_BLOCKS_RAW)
 
 
 def scaling_single(cores: int) -> None:
@@ -154,9 +162,15 @@ def scaling_single(cores: int) -> None:
     oriented.count()
     # Two warm-up runs first: codegen/JIT/worker-pool spin-up takes ~2 runs
     # to reach steady state and would swamp the comparison. Then min-of-3
-    # measured runs — same job at both levels, n_blocks fixed so only
-    # parallelism varies. The cached degree table feeds hub detection so
-    # graph prep stays outside the measured window.
+    # measured runs — same job at both levels; n_blocks is auto-derived per
+    # level (the primary protocol) unless SPARK_GRAFT_SCALE_BLOCKS pins it.
+    # The cached degree table feeds hub detection so graph prep stays
+    # outside the measured window.
+    from accelerating_tc_spark.plans.blocking import auto_n_blocks
+
+    chosen_b = SCALE_BLOCKS or auto_n_blocks(
+        spark.sparkContext.defaultParallelism, n_edges
+    )
     for _ in range(2):
         triangles.triangle_count_blocked(oriented, n_blocks=SCALE_BLOCKS, deg=deg).collect()
     dt = float("inf")
@@ -175,6 +189,7 @@ def scaling_single(cores: int) -> None:
                 "triangles": tri,
                 "triangles_per_sec": round(tri / dt, 1),
                 "n_edges": n_edges,
+                "n_blocks": chosen_b,
             }
         )
     )
