@@ -103,6 +103,28 @@ def peel_priorities(
             n_frontier = state.where(F.col("priority") == level).count()
             level += 1
             inner += 1
+        if n_frontier > 0:
+            # inner cap hit with a live frontier: the final wave's peeled
+            # vertices still owe their unpeeled neighbors their decrements —
+            # apply them (without opening a new wave at this threshold) so
+            # runtime degrees stay exact across the threshold bump and the
+            # "every edge decrements exactly once" invariant holds
+            frontier = state.where(F.col("priority") == level - 1).select("vertex")
+            dec = (
+                sym.join(frontier.withColumnRenamed("vertex", "src"), "src")
+                .groupBy(F.col("dst").alias("vertex"))
+                .agg(F.count(F.lit(1)).alias("_dec"))
+            )
+            state = state.join(dec, "vertex", "left").select(
+                "vertex",
+                F.when(
+                    F.col("priority").isNull(),
+                    F.col("rdeg") - F.coalesce("_dec", F.lit(0)),
+                )
+                .otherwise(F.col("rdeg"))
+                .alias("rdeg"),
+                "priority",
+            ).localCheckpoint(eager=True)
         if state.where(F.col("priority").isNull()).count() == 0:
             break
         threshold += step

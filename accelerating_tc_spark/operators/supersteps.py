@@ -129,6 +129,18 @@ def iterate(
                 shutil.rmtree(out)
             os.rename(tmp, out)
             persisted = spark.read.parquet(out)  # lineage cut: read back the snapshot
+        elif (
+            delta_fn is None
+            and checkpoint_dir is None
+            and i % checkpoint_every != checkpoint_every - 1
+            and i != max_iterations - 1
+        ):
+            # unmetered fixed-round mode: rounds between lineage cuts stay
+            # lazy-chained — skipping the eager materialization removes a
+            # full job per skipped round (the dominant per-round constant
+            # for small states); the plan depth is bounded by
+            # checkpoint_every so Catalyst analysis stays O(1) per round
+            persisted = new_state
         else:
             persisted = new_state.localCheckpoint(eager=True)
 

@@ -5,11 +5,23 @@ k-2 triangles WITHIN the subgraph (Cohen 2008 — public definition). The
 reference has vertex peeling (A-direction / k-core); this extends the
 family to edge peeling over the same DataFrame spine.
 
-Algorithm (synchronous peel to fixpoint): each round computes every
-remaining edge's support |N(u) ∩ N(v)| with one adjacency build + two
-joins + array_intersect (all JVM-side), drops edges below k-2, and
-re-checks. Rounds ≤ peel depth (small in practice); each round's cost is
-one shuffle on the vertex key plus the wedge-bounded intersect.
+Algorithm — DECREMENTAL support maintenance (reference-peel style): the
+per-edge support |N(u) ∩ N(v)| is computed ONCE (edge_support); each peel
+round then only subtracts the support destroyed by that round's dropped
+edges. A triangle dies when its first edge drops, and every one of its
+surviving edges loses exactly 1 support:
+
+- 1 dropped edge (u,v): each w ∈ N_surv(u) ∩ N_surv(v) names a destroyed
+  triangle whose OTHER two edges (u,w), (v,w) both survive — each -1,
+- 2 dropped edges meeting at c: the wedge's closing edge (a,b), if it
+  survives, loses 1 (counted once, at the unique shared center),
+- 3 dropped edges: nothing surviving to decrement.
+
+Per-round cost is therefore ∝ |dropped| × degree (the dropped-driven
+joins) plus one adjacency rebuild over survivors — never the full wedge
+volume of the surviving graph, which the naive recompute pays every round.
+`truss_numbers` carries the maintained supports across the k cascade, so
+the whole decomposition computes supports exactly once.
 """
 
 from __future__ import annotations
@@ -18,6 +30,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import prep
+
+def _empty_arr() -> F.Column:
+    return F.array().cast("array<long>")
 
 
 def edge_support(canonical: DataFrame) -> DataFrame:
@@ -37,52 +52,114 @@ def edge_support(canonical: DataFrame) -> DataFrame:
     )
 
 
+def _support_decrements(dropped: DataFrame, survivors: DataFrame) -> DataFrame:
+    """(src, dst, dec): per SURVIVING edge, how many of its triangles were
+    destroyed by `dropped` (both inputs canonical src<dst, disjoint)."""
+    sym_s = prep.symmetrize(survivors)
+    adj_s = sym_s.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    a_u = adj_s.withColumnRenamed("nbrs", "nbrs_u")
+    a_v = adj_s.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
+
+    # triangles with exactly ONE dropped edge: third vertex w lies in the
+    # SURVIVOR adjacency of both endpoints; each of the two surviving edges
+    # (u,w), (v,w) loses one triangle
+    tri1 = (
+        dropped.join(a_u, "src", "left")
+        .join(a_v, "dst", "left")
+        .select(
+            "src",
+            "dst",
+            F.explode(
+                F.array_intersect(
+                    F.coalesce(F.col("nbrs_u"), _empty_arr()),
+                    F.coalesce(F.col("nbrs_v"), _empty_arr()),
+                )
+            ).alias("w"),
+        )
+    )
+    d1 = tri1.select(
+        F.least("src", "w").alias("src"), F.greatest("src", "w").alias("dst")
+    ).unionAll(
+        tri1.select(
+            F.least("dst", "w").alias("src"), F.greatest("dst", "w").alias("dst")
+        )
+    )
+
+    # triangles with TWO dropped edges: a wedge of dropped edges at center c
+    # whose closing edge survives — counted once at the unique shared center
+    sym_d = prep.symmetrize(dropped)
+    e1 = sym_d.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    e2 = sym_d.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+    d2 = (
+        e1.join(e2, "c")
+        .where(F.col("a") < F.col("b"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .join(survivors, ["src", "dst"], "left_semi")
+    )
+
+    return d1.unionAll(d2).groupBy("src", "dst").agg(F.count(F.lit(1)).alias("dec"))
+
+
+def _peel_level(
+    state: DataFrame, k: int, max_rounds: int
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Peel (src, dst, support) state to the k-truss fixpoint with
+    decremental support updates. Returns (fixpoint state, per-round dropped
+    edge DataFrames). Every returned frame is rooted in a localCheckpoint,
+    so callers may union/materialize them later."""
+    dropped_frames: list[DataFrame] = []
+    for _ in range(max_rounds):
+        dropped = state.where(F.col("support") < k - 2).select("src", "dst")
+        if dropped.limit(1).count() == 0:
+            return state, dropped_frames
+        dropped_frames.append(dropped)
+        survivors = state.where(F.col("support") >= k - 2)
+        dec = _support_decrements(dropped, survivors.select("src", "dst"))
+        state = (
+            survivors.join(dec, ["src", "dst"], "left")
+            .select(
+                "src",
+                "dst",
+                (F.col("support") - F.coalesce("dec", F.lit(0))).alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state, dropped_frames
+
+
 def ktruss(
     spark: SparkSession,
     canonical: DataFrame,
     k: int,
-    max_rounds: int = 100,
+    max_rounds: int = 100000,
 ) -> DataFrame:
-    """Canonical edges of the k-truss (fixpoint of support-based peeling)."""
+    """Canonical edges of the k-truss (fixpoint of support-based peeling).
+    Support is computed once; rounds pay only dropped-edge-driven joins."""
     if k < 3:
         return canonical
-    current = canonical.localCheckpoint(eager=True)
-    n_current = current.count()
-    for _ in range(max_rounds):
-        if n_current == 0:
-            break
-        kept = (
-            edge_support(current)
-            .where(F.col("support") >= k - 2)
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
-        n_kept = kept.count()
-        if n_kept == n_current:
-            return kept
-        current, n_current = kept, n_kept
-    return current
+    state = edge_support(canonical).localCheckpoint(eager=True)
+    state, _dropped = _peel_level(state, k, max_rounds)
+    return state.select("src", "dst")
 
 
 def truss_numbers(
     spark: SparkSession, canonical: DataFrame, max_k: int = 64
 ) -> DataFrame:
     """(src, dst, truss): the largest k for which the edge survives in the
-    k-truss (>= 2 for every edge). Computed by successive peels — each k
-    level starts from the previous level's survivors, so total work is the
-    peel cascade, not max_k independent runs."""
-    remaining = canonical.localCheckpoint(eager=True)
+    k-truss (>= 2 for every edge). One support computation feeds the whole
+    cascade: the k-level fixpoint's MAINTAINED supports carry into level
+    k+1, so no level ever recomputes support from scratch."""
+    state = edge_support(canonical).localCheckpoint(eager=True)
     labeled: list[DataFrame] = []
     k = 3
-    while k <= max_k and remaining.limit(1).count() > 0:
-        survivors = ktruss(spark, remaining, k)
-        dropped = remaining.join(survivors, ["src", "dst"], "left_anti")
-        labeled.append(dropped.select("src", "dst", F.lit(k - 1).cast("long").alias("truss")))
-        remaining = survivors
+    while k <= max_k and state.limit(1).count() > 0:
+        state, dropped_frames = _peel_level(state, k, max_rounds=100000)
+        for d in dropped_frames:
+            labeled.append(d.select("src", "dst", F.lit(k - 1).cast("long").alias("truss")))
         k += 1
-    if remaining.limit(1).count() > 0:
+    if state.limit(1).count() > 0:
         labeled.append(
-            remaining.select("src", "dst", F.lit(k - 1).cast("long").alias("truss"))
+            state.select("src", "dst", F.lit(k - 1).cast("long").alias("truss"))
         )
     out = labeled[0]
     for df in labeled[1:]:

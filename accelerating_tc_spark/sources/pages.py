@@ -86,23 +86,79 @@ def _resolve(base: str, href: str) -> str | None:
 _LINKS_SCHEMA = "src_url string, dst_url string"
 
 
+def _resolve_series(src: pd.Series, href: pd.Series) -> pd.Series:
+    """Vectorized equivalent of per-row _resolve over aligned Series.
+
+    The cases that dominate real crawls — absolute, protocol-relative, and
+    root-relative hrefs — are resolved with pyarrow.compute string kernels
+    (C++ batch ops; pandas .str would still loop per element in Python);
+    only the bare-relative tail (./ ../ and sibling paths) falls back to
+    per-row _resolve. Semantics are pinned byte-identical to _resolve by
+    tests/test_pages.py (golden hashes + a differential sweep)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    src_a = pa.array(src, type=pa.string())
+    h = pc.utf8_trim_whitespace(pa.array(href, type=pa.string()))
+    skip = pc.equal(h, "")
+    for pref in ("#", "javascript:", "mailto:", "data:"):
+        skip = pc.or_(skip, pc.starts_with(h, pref))
+    absolute = pc.and_(
+        pc.match_substring(pc.utf8_slice_codeunits(h, 0, 10), "://"), pc.invert(skip)
+    )
+    not_abs = pc.and_(pc.invert(absolute), pc.invert(skip))
+    proto_rel = pc.and_(pc.starts_with(h, "//"), not_abs)
+    root_rel = pc.and_(pc.and_(pc.starts_with(h, "/"), pc.invert(proto_rel)), not_abs)
+    # _resolve returns None when the base URL has no scheme://host origin
+    origin = pc.struct_field(
+        pc.extract_regex(src_a, r"(?i)^(?P<o>[a-z][a-z0-9+.-]*://[^/?#]*)"), "o"
+    )
+    ok = pc.is_valid(origin)
+    scheme = pc.struct_field(
+        pc.extract_regex(src_a, r"^(?P<s>[a-zA-Z][a-zA-Z0-9+.-]*)://"), "s"
+    )
+
+    dst = pc.if_else(absolute, h, pa.nulls(len(h), pa.string()))
+    dst = pc.if_else(
+        pc.and_(proto_rel, ok), pc.binary_join_element_wise(scheme, ":", h, ""), dst
+    )
+    dst = pc.if_else(
+        pc.and_(root_rel, ok), pc.binary_join_element_wise(origin, h, ""), dst
+    )
+    out = dst.to_pandas().astype(object).where(dst.to_pandas().notna(), None)
+
+    rest = pc.invert(pc.or_(pc.or_(skip, absolute), pc.or_(proto_rel, root_rel)))
+    rest_np = rest.to_numpy(zero_copy_only=False)
+    if rest_np.any():
+        idx = np.nonzero(rest_np)[0]
+        sv, hv = src.to_numpy(), href.to_numpy()
+        out.iloc[idx] = [_resolve(sv[i], hv[i]) for i in idx]
+    out.index = href.index
+    return out
+
+
 def extract_links(pages: DataFrame) -> DataFrame:
-    """(src_url, dst_url) per hyperlink — vectorized href scan over Arrow
-    batches; self-links dropped after normalization; duplicates kept (the
-    edge builder dedups, mirroring the reference's cleaning stages)."""
+    """(src_url, dst_url) per hyperlink — vectorized href scan + vectorized
+    URL resolution over Arrow batches; self-links dropped after
+    normalization; duplicates kept (the edge builder dedups, mirroring the
+    reference's cleaning stages)."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             html = pdf["html"].apply(
                 lambda b: b.decode("utf-8", "replace") if b is not None else ""
             )
-            hrefs = html.str.findall(_HREF_RE)
-            n_links = hrefs.str.len().to_numpy()
-            srcs = pdf["url"].to_numpy().repeat(n_links)
-            flat = [(s, h) for s, hs in zip(pdf["url"], hrefs) for h in hs]
-            resolved = [(_resolve(s, h)) for s, h in flat]
-            out = pd.DataFrame({"src_url": srcs, "dst_url": resolved})
-            yield out[out["dst_url"].notna()]
+            ex = pd.DataFrame(
+                {"src_url": pdf["url"].to_numpy(), "href": html.str.findall(_HREF_RE)}
+            ).explode("href")
+            ex = ex[ex["href"].notna()]
+            if len(ex):
+                ex = ex.reset_index(drop=True)
+                ex["dst_url"] = _resolve_series(ex["src_url"], ex["href"])
+            else:
+                ex["dst_url"] = pd.Series([], dtype=object)
+            yield ex[ex["dst_url"].notna()][["src_url", "dst_url"]]
 
     links = pages.select("url", "html").mapInPandas(scan, schema=_LINKS_SCHEMA)
     return links.select(
@@ -217,4 +273,45 @@ def generate_pages(spark, n_sites: int = 10, pages_per_site: int = 10, seed: int
     pdf["text"] = extract_text_series(pdf["html"])
     return spark.createDataFrame(
         pdf, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def generate_pages_distributed(
+    spark, n_sites: int, pages_per_site: int = 10
+) -> DataFrame:
+    """Web-scale variant of generate_pages: the corpus is built INSIDE Spark
+    (spark.range + JVM string expressions), so a 100k+-page bench corpus
+    never funnels through the driver. Same link structure as generate_pages
+    (ring next-link ×2, site root, cross-site, fragment, bare-relative self,
+    and a deterministic '../' link on ~30% of pages — randomness replaced by
+    a mod-10 rule so the corpus is seed-free deterministic). `text` is NULL:
+    this corpus feeds link-extraction benchmarks, not the text invariant."""
+    total = n_sites * pages_per_site
+    s = (F.col("id") / pages_per_site).cast("long")
+    p = F.pmod(F.col("id"), F.lit(pages_per_site))
+    nxt = F.pmod(p + 1, F.lit(pages_per_site))
+    cross_site = F.pmod(s + 1, F.lit(n_sites))
+    rel_target = F.pmod(s * 7 + p * 3, F.lit(pages_per_site))
+    has_rel = F.pmod(s * 31 + p, F.lit(10)) < 3
+    html = F.concat(
+        F.format_string("<html><head><title>Site %d page %d</title>", s, p),
+        F.format_string("<script>var x = %d;</script></head><body>", p),
+        F.format_string("<h1>Page %d of site %d</h1>", p, s),
+        F.format_string('<a href="/p%d">next</a>', nxt),
+        F.format_string('<a href="/p%d">next again</a>', nxt),
+        F.lit('<a href="/p0">root</a>'),
+        F.format_string('<a href="http://site%d.example/p0">cross</a>', cross_site),
+        F.lit('<a href="#frag">frag</a>'),
+        F.format_string('<a href="p%d">self</a>', p),
+        F.when(
+            has_rel, F.format_string('<a href="../p%d">rand</a>', rel_target)
+        ).otherwise(F.lit("")),
+        F.format_string("<p>Lorem ipsum &amp; dolor %d-%d.</p></body></html>", s, p),
+    )
+    return spark.range(0, total).select(
+        F.format_string("http://site%d.example/p%d", s, p).alias("url"),
+        (F.lit("2026-01-01 00:00:00").cast("timestamp")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit("en").alias("lang"),
     )

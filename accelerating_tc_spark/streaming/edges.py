@@ -89,34 +89,85 @@ class TriangleMaintainer:
     """foreachBatch sink: parquet edge store + exact running triangle count.
 
     State layout under `state_dir`:
-      edges/   parquet canonical edge store (append-only)
-      state.json  {"triangles": N, "edges": M, "batches": K}
-    Restart-safe for the file source: re-delivered rows anti-join to an
-    empty Δ and change nothing (idempotent merge).
+      edges/        parquet canonical edge store (committed files only)
+      pending/<id>/ staged delta for batch <id> (pre- or mid-commit)
+      state.json    {"triangles", "edges", "batches", "last_batch_id"}
+
+    Crash-safe commit protocol (state.json is the single commit point):
+      1. stage Δ under pending/<batch_id> (NOT visible to the store),
+      2. atomically write state.json including last_batch_id,
+      3. move the staged files into edges/ and drop the pending dir.
+    A crash before (2) leaves only stale staging — the replayed batch
+    recomputes the identical Δ (anti-join against the committed store) and
+    overwrites it. A crash between (2) and (3) is finished by `_recover`
+    (file moves are idempotent: batch-prefixed names, already-moved files
+    are gone from pending) and the replayed batch, carrying the committed
+    last_batch_id, is skipped — counts are never applied twice OR lost.
+    Row-level idempotency for re-deliveries under a fresh streaming
+    checkpoint (ids restart at 0) still comes from the anti-join.
     """
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
         self.edges_path = os.path.join(state_dir, "edges")
+        self.pending_path = os.path.join(state_dir, "pending")
         self.state_path = os.path.join(state_dir, "state.json")
         os.makedirs(state_dir, exist_ok=True)
+        self._recover()
 
     def _load_state(self) -> dict:
         if os.path.exists(self.state_path):
             with open(self.state_path) as fh:
                 return json.load(fh)
-        return {"triangles": 0, "edges": 0, "batches": 0}
+        return {"triangles": 0, "edges": 0, "batches": 0, "last_batch_id": -1}
+
+    def _pending_dir(self, batch_id: int) -> str:
+        return os.path.join(self.pending_path, str(batch_id))
+
+    def _publish(self, batch_id: int) -> None:
+        """Move staged parquet parts into the store (idempotent)."""
+        src_dir = self._pending_dir(batch_id)
+        if not os.path.isdir(src_dir):
+            return
+        os.makedirs(self.edges_path, exist_ok=True)
+        for name in os.listdir(src_dir):
+            if name.endswith(".parquet"):
+                os.replace(
+                    os.path.join(src_dir, name),
+                    os.path.join(self.edges_path, f"batch{batch_id}-{name}"),
+                )
+        import shutil
+
+        shutil.rmtree(src_dir)
+
+    def _recover(self) -> None:
+        """Finish any committed-but-unpublished batch; drop uncommitted
+        staging (its batch will be re-delivered and recomputed)."""
+        if not os.path.isdir(self.pending_path):
+            return
+        last = self._load_state().get("last_batch_id", -1)
+        import shutil
+
+        for name in os.listdir(self.pending_path):
+            bid = int(name)
+            if bid <= last:
+                self._publish(bid)
+            else:
+                shutil.rmtree(self._pending_dir(bid))
 
     def _store(self) -> DataFrame | None:
-        if os.path.exists(os.path.join(self.edges_path, "_SUCCESS")) or (
-            os.path.isdir(self.edges_path) and os.listdir(self.edges_path)
+        if os.path.isdir(self.edges_path) and any(
+            n.endswith(".parquet") for n in os.listdir(self.edges_path)
         ):
             return self.spark.read.parquet(self.edges_path)
         return None
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._recover()
         state = self._load_state()
+        if batch_id == state.get("last_batch_id", -1):
+            return  # exact replay of the committed batch (crash after commit)
         canonical = prep.canonicalize_edges(batch_df)
         old = self._store()
         if old is None:
@@ -129,14 +180,20 @@ class TriangleMaintainer:
         if n_delta == 0:
             return
         new_tri = _count_new_triangles(self.spark, old, delta)
-        delta.write.mode("append").parquet(self.edges_path)
+        # (1) stage
+        staged = self._pending_dir(batch_id)
+        delta.write.mode("overwrite").parquet(staged)
+        # (2) commit — the atomic point
         state["triangles"] += new_tri
         state["edges"] += n_delta
         state["batches"] += 1
+        state["last_batch_id"] = batch_id
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         os.replace(tmp, self.state_path)
+        # (3) publish
+        self._publish(batch_id)
 
     def totals(self) -> dict:
         return self._load_state()

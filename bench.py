@@ -110,6 +110,12 @@ def main() -> None:
         return run_skew()
     if "--cc-rounds" in sys.argv:
         return run_cc_rounds()
+    if "--web" in sys.argv:
+        return run_web()
+    if "--dedup" in sys.argv:
+        return run_dedup()
+    if "--truss" in sys.argv:
+        return run_truss()
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     t0 = time.time()
@@ -291,6 +297,174 @@ def run_skew() -> None:
                 "sf": _sf_label(SF_DIR),
                 "detail": {"on": on, "off": off, "n_edges": n_edges},
                 "parity": on["triangles"] == off["triangles"],
+            }
+        )
+    )
+
+
+def run_web() -> None:
+    """Link-extraction front-end throughput (north-star ingest path): a
+    distributed synthetic corpus -> extract_links -> pages_to_edges, with
+    links/sec and pages/sec for the extraction stage alone."""
+    from accelerating_tc_spark.session import get_spark
+    from accelerating_tc_spark.sources import pages as P
+
+    spark = get_spark("bench_web", cores=CPUS, shuffle_partitions=CPUS)
+    n_sites = int(os.environ.get("SPARK_GRAFT_WEB_SITES", "12000"))
+    pps = int(os.environ.get("SPARK_GRAFT_WEB_PPS", "10"))
+    corpus = P.generate_pages_distributed(spark, n_sites, pps).cache()
+    n_pages = corpus.count()
+
+    # warm-up then min-of-3: extraction stage alone (normalize included)
+    for _ in range(1):
+        P.extract_links(corpus).count()
+    ext = float("inf")
+    n_links = 0
+    for _ in range(3):
+        t0 = time.time()
+        n_links = P.extract_links(corpus).count()
+        ext = min(ext, time.time() - t0)
+
+    t0 = time.time()
+    edges, _mapping = P.pages_to_edges(corpus)
+    n_edges = edges.count()
+    full = time.time() - t0
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "web_links_per_sec",
+                "value": round(n_links / ext, 1),
+                "unit": "links/sec",
+                "queries": {"extract_links_s": round(ext, 3), "pages_to_edges_s": round(full, 3)},
+                "sf": _sf_label(SF_DIR),
+                "detail": {
+                    "n_pages": n_pages,
+                    "n_links": n_links,
+                    "n_edges": n_edges,
+                    "pages_per_sec": round(n_pages / ext, 1),
+                },
+            }
+        )
+    )
+
+
+def run_dedup() -> None:
+    """MinHash+LSH dedup at volume: a >=100k-doc synthetic corpus with
+    planted near-duplicate clusters; records candidate count, bucket-size
+    distribution, verified pairs, group count, and wall time."""
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import dedup
+    from accelerating_tc_spark.session import get_spark
+
+    spark = get_spark("bench_dedup", cores=CPUS, shuffle_partitions=CPUS)
+    n_docs = int(os.environ.get("SPARK_GRAFT_DEDUP_DOCS", "100000"))
+    docs = dedup.synthetic_near_dup_corpus(spark, n_docs).cache()
+    n = docs.count()
+    bands, rows_per_band = dedup.suggest_minhash_params(n, threshold=0.8)
+
+    t0 = time.time()
+    stats = dedup.minhash_dedup_stats(
+        docs, threshold=0.8, k=bands * rows_per_band, bands=bands
+    )
+    pairs_wall = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_groups = (
+        dedup.near_dup_groups(spark, docs, threshold=0.8, bands=bands,
+                              k=bands * rows_per_band)
+        .select("group_id").distinct().count()
+    )
+    groups_wall = round(time.time() - t0, 3)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "minhash_dedup_100k",
+                "value": pairs_wall,
+                "unit": "sec",
+                "queries": {"pairs_s": pairs_wall, "groups_s": groups_wall},
+                "sf": _sf_label(SF_DIR),
+                "detail": {
+                    "n_docs": n,
+                    "bands": bands,
+                    "rows_per_band": rows_per_band,
+                    **stats,
+                    "n_groups": n_groups,
+                    "docs_per_sec": round(n / pairs_wall, 1),
+                },
+            }
+        )
+    )
+
+
+def run_truss() -> None:
+    """Decremental vs full-recompute k-truss on a deep-peel fixture: the
+    naive baseline recomputes EVERY surviving edge's support each round
+    (wedge volume × rounds); the shipped decremental peel pays only
+    dropped-edge-driven joins after the single initial support pass."""
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import prep, truss
+    from accelerating_tc_spark.session import get_spark
+    from accelerating_tc_spark.sources import synthetic
+
+    spark = get_spark("bench_truss", cores=CPUS, shuffle_partitions=CPUS)
+    n_v = int(os.environ.get("SPARK_GRAFT_TRUSS_V", "30000"))
+    n_e = int(os.environ.get("SPARK_GRAFT_TRUSS_E", "400000"))
+    raw = synthetic.zipf_edges_distributed(spark, n_v, n_e, s=0.8)
+    canonical = prep.canonicalize_edges(raw).cache()
+    n_edges = canonical.count()
+    k = int(os.environ.get("SPARK_GRAFT_TRUSS_K", "5"))
+
+    def naive_ktruss() -> int:
+        """The pre-round-3 loop: full support recompute per round."""
+        current = canonical.localCheckpoint(eager=True)
+        n_current, rounds = current.count(), 0
+        while n_current:
+            kept = (
+                truss.edge_support(current)
+                .where(F.col("support") >= k - 2)
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+            n_kept, rounds = kept.count(), rounds + 1
+            if n_kept == n_current:
+                return n_kept
+            current, n_current = kept, n_kept
+        return 0
+
+    t0 = time.time()
+    dec_edges = truss.ktruss(spark, canonical, k=k).count()
+    dec_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    naive_edges = naive_ktruss()
+    naive_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    n_levels = (
+        truss.truss_numbers(spark, canonical).select("truss").distinct().count()
+    )
+    cascade_s = round(time.time() - t0, 3)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "ktruss_decremental_ab",
+                "value": dec_s,
+                "unit": "sec",
+                "queries": {
+                    "decremental_s": dec_s,
+                    "full_recompute_s": naive_s,
+                    "truss_numbers_cascade_s": cascade_s,
+                },
+                "sf": _sf_label(SF_DIR),
+                "detail": {
+                    "n_edges": n_edges,
+                    "k": k,
+                    "truss_edges": dec_edges,
+                    "n_truss_levels": n_levels,
+                },
+                "parity": dec_edges == naive_edges,
             }
         )
     )

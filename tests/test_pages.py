@@ -87,3 +87,47 @@ def test_pages_to_edges_dense_ids(spark):
 
     tri = triangles.count_triangles(edges, strategy="kernel").collect()[0]["triangles"]
     assert tri >= 0
+
+
+def test_resolve_series_differential():
+    """The vectorized resolver must agree byte-for-byte with per-row
+    _resolve over every case class (absolute, protocol-relative,
+    root-relative, bare-relative, ../ squashing, skips, broken bases)."""
+    import pandas as pd
+
+    bases = [
+        "http://a.example/x/y/page.html",
+        "https://b.example:8443/deep/dir/",
+        "HTTP://Mixed.Case/path",
+        "ftp://files.example/pub/idx",
+        "not-a-url",
+        "http://c.example",
+    ]
+    hrefs = [
+        "http://abs.example/z", "HTTPS://ABS2/q?a=1", "//cdn.example/lib.js",
+        "/rooted/path", "/", "sibling.html", "./same/dir", "../up/one",
+        "../../up/two", "..", ".", "", "  spaced  ", "#frag",
+        "javascript:void(0)", "mailto:x@y", "data:text/plain,hi",
+        "a/b/../c", "//x", "?query-only",
+    ]
+    pairs = [(b, h) for b in bases for h in hrefs]
+    src = pd.Series([b for b, _ in pairs], dtype=object)
+    href = pd.Series([h for _, h in pairs], dtype=object)
+    got = P._resolve_series(src, href)
+    for i, (b, h) in enumerate(pairs):
+        expected = P._resolve(b, h)
+        g = got.iloc[i]
+        g = None if pd.isna(g) else g
+        assert g == expected, f"base={b!r} href={h!r}: {g!r} != {expected!r}"
+
+
+def test_generate_pages_distributed_matches_driver_side(spark):
+    """The distributed corpus must yield the same structural links as the
+    driver-side generator on the deterministic (non-random) link classes."""
+    dist = P.generate_pages_distributed(spark, n_sites=2, pages_per_site=2)
+    links = {
+        (r["src_url"], r["dst_url"]) for r in P.extract_links(dist).collect()
+    }
+    assert ("http://site0.example/p0", "http://site0.example/p1") in links
+    assert ("http://site0.example/p0", "http://site1.example/p0") in links
+    assert all(s != d for s, d in links)

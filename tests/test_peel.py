@@ -44,6 +44,16 @@ def py_peel(pairs, thre_param=1.0, inner_rounds=5):
                 prio[u] = level
             level += 1
             inner += 1
+        if frontier:
+            # inner cap hit with a live frontier: its decrements still fire
+            # before the threshold rises (mirrors peel.peel_priorities)
+            dec = Counter()
+            for v in frontier:
+                for u in adj[v]:
+                    dec[u] += 1
+            for u, c in dec.items():
+                if u not in prio:
+                    rdeg[u] -= c
         if len(prio) == n:
             break
         threshold += step
@@ -62,6 +72,19 @@ def test_peel_matches_python_oracle(spark, seed, thre_param):
     }
     expected = py_peel(clean, thre_param=thre_param)
     assert got == expected
+
+
+def test_peel_inner_cap_orphan_decrements(spark):
+    """A path graph cascades one wave per removed endpoint pair, so a tiny
+    inner_rounds cap fires constantly — the capped wave's decrements must
+    still apply before the threshold rises (levels would drift from the
+    oracle otherwise)."""
+    n = 40
+    path = [(i, i + 1) for i in range(n - 1)]
+    canonical = prep.canonicalize_edges(synthetic.edges_df(spark, path))
+    pr = peel.peel_priorities(spark, canonical, thre_param=1.0, inner_rounds=2)
+    got = {r["vertex"]: r["priority"] for r in pr.collect()}
+    assert got == py_peel(path, thre_param=1.0, inner_rounds=2)
 
 
 def test_peel_total_and_orientation_acyclic(spark):

@@ -108,3 +108,49 @@ def test_windowed_event_counts_plan(spark, tmp_path):
     got_s = got.sort_values(key).reset_index(drop=True)
     exp_s = expected.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, exp_s, check_dtype=False)
+
+
+def test_crash_between_commit_and_publish_recovers(spark, tmp_path):
+    """state.json is the commit point: a crash AFTER the state write but
+    BEFORE the staged delta is published must be healed by recovery (files
+    published, replayed batch skipped) with no double count and no loss."""
+    import json
+    import os
+
+    state_dir = str(tmp_path / "state")
+    m = stream_edges.TriangleMaintainer(spark, state_dir)
+    m.process_batch(synthetic.edges_df(spark, [(0, 1), (1, 2), (0, 2)]), 0)
+    assert m.totals() == {"triangles": 1, "edges": 3, "batches": 1, "last_batch_id": 0}
+
+    # simulate batch 1: stage + commit, then "crash" before publish
+    delta = synthetic.edges_df(spark, [(2, 3), (0, 3)])
+    delta.write.mode("overwrite").parquet(m._pending_dir(1))
+    st = m.totals()
+    st.update(triangles=2, edges=5, batches=2, last_batch_id=1)  # (0,2,3) closes
+    with open(m.state_path, "w") as fh:
+        json.dump(st, fh)
+
+    m2 = stream_edges.TriangleMaintainer(spark, state_dir)  # recovery runs here
+    assert not os.path.isdir(m2._pending_dir(1))
+    assert m2._store().count() == 5  # staged files were published
+    # replay of the committed batch is skipped — counts unchanged
+    m2.process_batch(synthetic.edges_df(spark, [(2, 3), (0, 3)]), 1)
+    assert m2.totals()["triangles"] == 2 and m2.totals()["edges"] == 5
+    # the NEXT batch still processes normally on the healed store
+    m2.process_batch(synthetic.edges_df(spark, [(1, 3)]), 2)
+    assert m2.totals()["triangles"] == 4  # (0,1,3) and (1,2,?) -> 1-3 closes 0-1/0-3 and 1-2/2-3
+
+
+def test_uncommitted_staging_discarded(spark, tmp_path):
+    """Staging without a matching committed state (crash BEFORE the state
+    write) is dropped on recovery; the re-delivered batch recomputes it."""
+    import os
+
+    state_dir = str(tmp_path / "state")
+    m = stream_edges.TriangleMaintainer(spark, state_dir)
+    m.process_batch(synthetic.edges_df(spark, [(0, 1)]), 0)
+    synthetic.edges_df(spark, [(1, 2)]).write.mode("overwrite").parquet(m._pending_dir(5))
+    m2 = stream_edges.TriangleMaintainer(spark, state_dir)
+    assert not os.path.isdir(m2._pending_dir(5))
+    m2.process_batch(synthetic.edges_df(spark, [(1, 2), (0, 2)]), 5)
+    assert m2.totals()["triangles"] == 1 and m2.totals()["edges"] == 3
