@@ -204,6 +204,39 @@ def _q_subgraph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subgraph.subgraph_match_count(edges, labels, _SM_QUERY_LABELS, _SM_QUERY_EDGES)
 
 
+def _q_subgraph_match_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 through the reference's query-file format (sm.cpp:15-43): a
+    4-vertex labeled PATH query written in the '.sm.queries' text layout,
+    parsed with sources.io.load_query_graphs, then matched with the same
+    greedy candidate-join order — exercises the join order beyond the
+    triangle (two degree-1 endpoints, no closing edge)."""
+    import os
+    import tempfile
+
+    from accelerating_tc_spark.sources import io as gio
+
+    fd, qpath = tempfile.mkstemp(suffix=".sm.queries", text=True)
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write("4 3\n0 1 2 3\n0 1\n1 2\n2 3\n")
+        qlabels, qedges = gio.load_query_graphs(qpath)[0]
+    finally:
+        os.unlink(qpath)
+    # label-NEUTRAL mod-13 thinning: path volume is Σ deg(u)·deg(v), so the
+    # dense mod-5 graph overwhelms the oracle; a modulus coprime to the
+    # label base (4) thins degrees without constraining the label pattern
+    edges = tpch_graph.copurchase_edges(spark, sf_dir).where(
+        (F.col("src") * 7 + F.col("dst") * 3) % 13 == 0
+    )
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    labels = verts.select("vertex", (F.col("vertex") % 4).alias("label"))
+    return subgraph.subgraph_match_count(edges, labels, qlabels, qedges)
+
+
 def _q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge triangle support on the sparsified graph (the k-truss
     peeling criterion; SQL-expressible as common-neighbor counts)."""
@@ -332,14 +365,45 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_THRESHOLD = 0.45
 
 
+# the driver's embeddings fixture is near-isotropic (hardest case for LSH:
+# single-table recall ~0.1); 12 tables x 5 planes + Hamming-1 multi-probe
+# measures 0.97-1.0 recall@10 at sf0.001/sf0.01 — the 0.9 contract floor
+# has margin. At scale: n_planes grows with corpus, n_tables with recall.
+_ANN_LSH_PLANES = 5
+_ANN_LSH_TABLES = 12
+
+
 def _q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: hyperplane-LSH buckets + Hamming-1 multi-probe,
-    reranked exactly. Approximate by design (recall bound pinned vs brute
-    force in tests/test_similarity.py) -> rows-only check."""
+    """Scale-path ANN: multi-table hyperplane-LSH buckets + Hamming-1
+    multi-probe, reranked exactly. Approximate by design -> rows-only
+    check; quality is driver-gated by ann_lsh_recall below."""
     emb = _embs(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") < 10)
-    return similarity.ann_topk_lsh(emb, queries_df, dim=64, k=10).orderBy(
-        "query_id", "rank"
+    return similarity.ann_topk_lsh(
+        emb, queries_df, dim=64, k=10,
+        n_planes=_ANN_LSH_PLANES, n_tables=_ANN_LSH_TABLES,
+    ).orderBy("query_id", "rank")
+
+
+def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked QUALITY gate for the ANN scale path: recall@10 of the
+    LSH plan against the exact brute-force top-k, computed inside Spark.
+    The oracle asserts the same contract from the SQL side (100 scored
+    slots, recall >= 0.9) — if multi-probe LSH ever degrades below the
+    floor, this row hash-mismatches instead of only a pytest noticing."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk_bruteforce(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = similarity.ann_topk_lsh(
+        emb, queries_df, dim=64, k=10,
+        n_planes=_ANN_LSH_PLANES, n_tables=_ANN_LSH_TABLES,
+    ).select("query_id", "neighbor_id")
+    hits = brute.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+    return brute.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (F.lit(1.0) * hits.count() / F.count(F.lit(1)) >= 0.9).alias("recall_ok"),
     )
 
 
@@ -426,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kclique4": _q_kclique4,
         "maximal_cliques": _q_maximal_cliques,
         "subgraph_match": _q_subgraph_match,
+        "subgraph_match_p4": _q_subgraph_match_p4,
         "edge_support": _q_edge_support,
         "ktruss4": _q_ktruss4,
         "edge_workload_total": _q_edge_workload,
@@ -444,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash,
         "ann_cosine_topk": _q_ann_topk,
         "ann_cosine_topk_lsh": _q_ann_topk_lsh,
+        "ann_lsh_recall": _q_ann_lsh_recall,
         "embedding_near_dups": _q_emb_near_dups_exact,
         "embedding_near_dups_lsh": _q_emb_near_dups_lsh,
         "events_hourly": _q_events_hourly,
@@ -637,6 +703,26 @@ ORDER BY e.src, e.dst
             _SM_QUERY_LABELS,
             _SM_QUERY_EDGES,
         ),
+        # the P4 query is byte-identical to what the .sm.queries loader
+        # parses in _q_subgraph_match_p4 (4 vertices, labels 0..3, path).
+        # Hand-staged edge-chain SQL: the generic FROM-comma oracle form
+        # (4 label relations x 3 sym relations) defeats DuckDB's join
+        # reordering; chaining sym joins with label predicates inlined is
+        # the same logical query with a feasible plan.
+        "subgraph_match_p4": """
+WITH edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey AND (a.l_partkey * 7 + b.l_partkey * 3) % 13 = 0
+), sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+)
+SELECT COUNT(*)::BIGINT AS embeddings
+FROM sym e0 JOIN sym e1 ON e1.src = e0.dst JOIN sym e2 ON e2.src = e1.dst
+WHERE e0.src % 4 = 0 AND e0.dst % 4 = 1 AND e1.dst % 4 = 2 AND e2.dst % 4 = 3
+  AND e0.src <> e1.dst AND e0.src <> e2.dst AND e0.dst <> e2.dst
+""",
         "edge_workload_total": _EDGES_DEG_CTE
         + """
 , od AS (SELECT src AS vertex, COUNT(*) AS out_degree FROM oriented GROUP BY src)
@@ -776,6 +862,24 @@ SELECT query_id, neighbor_id, rank::BIGINT AS rank, cos_sim FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= 10 ORDER BY query_id, rank
+""",
+        # recall contract: the SQL side states the required truth (100 exact
+        # top-k slots, recall floor met); the Spark side MEASURES the LSH
+        # plan against brute force — a recall regression hash-mismatches.
+        "ann_lsh_recall": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)
+SELECT COUNT(*)::BIGINT AS n_scored, TRUE AS recall_ok FROM topk
 """,
         "embedding_near_dups": _NEAR_DUP_ORACLE,
         # the LSH plan must reproduce the exact cross-join result (multi-table

@@ -126,17 +126,29 @@ def minhash_signatures(documents: DataFrame, k: int = 64, n: int = 3, seed: int 
     return agg.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
-) -> DataFrame:
-    """(doc_a, doc_b) candidates sharing >= 1 LSH band bucket.
+def suggest_minhash_params(
+    n_docs: int, threshold: float = 0.8, target_recall: float = 0.999
+) -> tuple[int, int]:
+    """(bands, rows_per_band) scaled to corpus size.
 
-    Band hash = xxhash64 over the band's signature slice; bucket join is a
-    plain shuffle join on (band, band_hash) — linear in bucket sizes, never
-    all-pairs.
+    rows_per_band grows ~log10(n): the band-collision probability for a
+    sub-threshold pair is j^r, so r is the lever that keeps near-miss
+    candidate mass bounded as the corpus grows. bands is then the smallest
+    count meeting the recall target 1-(1-t^r)^b >= target_recall at
+    j = threshold. Signature length k = bands * rows_per_band.
     """
+    import math
+
+    r = max(2, min(8, round(math.log10(max(n_docs, 10)))))
+    miss_one_band = 1.0 - threshold**r
+    b = max(4, math.ceil(math.log(1.0 - target_recall) / math.log(miss_one_band)))
+    return b, r
+
+
+def _band_rows(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket): one xxhash64 bucket per signature band."""
     assert bands * rows_per_band >= 1
-    band_rows = signatures.select(
+    return signatures.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -150,8 +162,20 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = band_rows.withColumnRenamed("doc_id", "doc_a")
-    b = band_rows.withColumnRenamed("doc_id", "doc_b")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_a, doc_b) candidates sharing >= 1 LSH band bucket.
+
+    Band hash = xxhash64 over the band's signature slice; bucket join is a
+    plain shuffle join on (band, band_hash) — linear in bucket sizes, never
+    all-pairs.
+    """
+    rows = _band_rows(signatures, bands, rows_per_band)
+    a = rows.withColumnRenamed("doc_id", "doc_a")
+    b = rows.withColumnRenamed("doc_id", "doc_b")
     return (
         a.join(b, ["band", "bucket"])
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -233,6 +257,88 @@ def near_dup_groups(
     return comp.select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("group_id")
     )
+
+
+def minhash_dedup_stats(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    k: int = 64,
+    n: int = 3,
+    bands: int = 16,
+    seed: int = 42,
+) -> dict:
+    """Volume diagnostics for the MinHash+LSH plan: candidate-pair count,
+    bucket-size distribution (max / p50 / p99 of non-singleton buckets),
+    and verified-pair count. The bucket distribution is THE scale health
+    metric — a runaway bucket means rows_per_band is too small for the
+    corpus (see suggest_minhash_params)."""
+    rows_per_band = max(k // bands, 1)
+    sigs = minhash_signatures(documents, k=k, n=n, seed=seed).cache()
+    rows = _band_rows(sigs, bands, rows_per_band)
+    bucket_sizes = (
+        rows.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .where(F.col("sz") > 1)
+    )
+    bstats = bucket_sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("sz").alias("max_bucket"),
+        F.expr("percentile(sz, 0.5)").alias("p50_bucket"),
+        F.expr("percentile(sz, 0.99)").alias("p99_bucket"),
+    ).first()
+    n_cands = lsh_candidate_pairs(sigs, bands=bands, rows_per_band=rows_per_band).count()
+    n_verified = minhash_dedup_pairs(
+        documents, threshold=threshold, k=k, n=n, bands=bands, seed=seed
+    ).count()
+    sigs.unpersist()
+    return {
+        "candidates": n_cands,
+        "verified_pairs": n_verified,
+        "collision_buckets": int(bstats["n_buckets"] or 0),
+        "max_bucket": int(bstats["max_bucket"] or 0),
+        "p50_bucket": float(bstats["p50_bucket"] or 0),
+        "p99_bucket": float(bstats["p99_bucket"] or 0),
+    }
+
+
+def synthetic_near_dup_corpus(
+    spark, n_docs: int, words_per_doc: int = 120, vocab: int = 5000
+) -> DataFrame:
+    """Deterministic distributed corpus with PLANTED near-dup clusters:
+    in every stride of 10 doc ids, docs base+1 and base+2 are one-word
+    mutations of doc base (shingle Jaccard ~0.95 for 3-shingles at 120
+    words — comfortably past the 0.8 near-dup threshold), the other 7 are
+    independent. Built entirely with JVM expressions (spark.range + hash
+    words), so a 100k+-doc bench corpus never touches the driver."""
+    i = F.col("id")
+    off = F.pmod(i, F.lit(10))
+    is_var = off.isin(1, 2)
+    base = F.when(is_var, i - off).otherwise(i)
+    mut_pos = F.pmod(i * 13, F.lit(words_per_doc - 6)) + 3  # interior position
+
+    def word(owner: F.Column, j: F.Column) -> F.Column:
+        # purely ALPHABETIC pseudo-words (the tokenizer drops digits):
+        # hash -> 3 lowercase letters, vocab capped at 26^3
+        h = F.pmod(
+            F.xxhash64(F.concat_ws("-", owner.cast("string"), j.cast("string"))),
+            F.lit(min(vocab, 26**3)),
+        )
+        return F.concat(
+            F.char(F.lit(97) + F.pmod(h, F.lit(26))),
+            F.char(F.lit(97) + F.pmod(F.floor(h / 26), F.lit(26))),
+            F.char(F.lit(97) + F.pmod(F.floor(h / 676), F.lit(26))),
+        )
+
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+            lambda j: F.when(is_var & (j == mut_pos), word(i, j)).otherwise(
+                word(base, j)
+            ),
+        ),
+    )
+    return spark.range(0, n_docs).select(i.alias("doc_id"), text.alias("text"))
 
 
 # -------------------------------------------------------------- SimHash

@@ -103,6 +103,25 @@ def lsh_bucket(
     return embeddings.withColumn("bucket", bucket)
 
 
+def _table_buckets(dim: int, n_planes: int, seed: int, n_tables: int) -> F.Column:
+    """array<struct<t,bucket>>: one sign-bit bucket per hash table over the
+    `unit` column (table t's planes derive from seed + 1000*t)."""
+    def bucket_expr(t: int) -> F.Column:
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        b = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane_arr = F.array(*[F.lit(float(x)) for x in p])
+            b = b + F.shiftleft((_dot(F.col("unit"), plane_arr) >= 0).cast("long"), i)
+        return b
+
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), bucket_expr(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -110,26 +129,35 @@ def ann_topk_lsh(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, reranked
-    exactly. Bucket join replaces the cross join — cost ~ sum of bucket
-    sizes. Multi-probe (hamming-1 neighbor buckets) lifts recall."""
-    base = lsh_bucket(with_unit_vectors(embeddings, vec_col), dim, n_planes, seed, "unit").select(
-        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n"), "bucket"
-    )
-    q0 = lsh_bucket(with_unit_vectors(queries, vec_col), dim, n_planes, seed, "unit").select(
-        F.col(id_col).alias("query_id"), F.col("unit").alias("unit_q"), "bucket"
-    )
-    # multi-probe: original bucket + each single-bit flip
+    """Approximate top-k: candidates share an LSH bucket with the query in
+    ANY of `n_tables` hash tables, reranked exactly. Bucket joins replace
+    the cross join — cost ~ sum of probed bucket sizes. Hamming-1
+    multi-probe on the query side plus table multiplicity set the recall:
+    miss ~ (1 - p_probe)^L per true neighbor, so L is the recall dial and
+    n_planes the per-table selectivity dial (grow n_planes with corpus
+    size, n_tables with the recall target)."""
+    base = with_unit_vectors(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("unit").alias("unit_n"),
+        F.explode(_table_buckets(dim, n_planes, seed, n_tables)).alias("tb"),
+    ).select("neighbor_id", "unit_n", "tb.t", "tb.bucket")
+    q0 = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("unit").alias("unit_q"),
+        F.explode(_table_buckets(dim, n_planes, seed, n_tables)).alias("tb"),
+    ).select("query_id", "unit_q", "tb.t", "tb.bucket")
+    # multi-probe: original bucket + each single-bit flip (query side only)
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
     )
-    q = q0.select("query_id", "unit_q", F.explode(probes).alias("bucket"))
+    q = q0.select("query_id", "unit_q", "t", F.explode(probes).alias("bucket"))
     scored = (
-        q.join(base, "bucket")
+        q.join(base, ["t", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -58,3 +58,36 @@ def read_vertex_order(spark: SparkSession, path: str) -> DataFrame:
 def read_labels(spark: SparkSession, path: str) -> DataFrame:
     """'u l' vertex-label pairs (reference sm.cpp:45-58)."""
     return spark.read.csv(path, sep=" ", schema="vertex LONG, label INT", comment="#")
+
+
+def load_query_graphs(path: str) -> list[tuple[dict[int, int], list[tuple[int, int]]]]:
+    """Parse the reference's .sm.queries text format (sm.cpp:15-43):
+    whitespace-separated ints, repeated blocks of
+
+        v_num e_num
+        <v_num labels, one per query vertex 0..v_num-1>
+        <e_num edge pairs u v>  (normalized u < v, like the reference)
+
+    Returns [(query_labels {vertex: label}, query_edges [(u, v), ...]), ...]
+    — exactly the inputs subgraph_match_count takes. Query files are tiny
+    (a handful of ints), so this is a driver-side parse by design.
+    """
+    with open(path) as fh:
+        toks = fh.read().split()
+    vals = [int(t) for t in toks]
+    out: list[tuple[dict[int, int], list[tuple[int, int]]]] = []
+    i = 0
+    while i < len(vals):
+        v_num, e_num = vals[i], vals[i + 1]
+        i += 2
+        labels = {q: vals[i + q] for q in range(v_num)}
+        i += v_num
+        edges = []
+        for _ in range(e_num):
+            u, v = vals[i], vals[i + 1]
+            if u > v:
+                u, v = v, u
+            edges.append((u, v))
+            i += 2
+        out.append((labels, edges))
+    return out

@@ -440,11 +440,15 @@ def run_truss() -> None:
     t0 = time.time()
     naive_edges = naive_ktruss()
     naive_s = round(time.time() - t0, 3)
-    t0 = time.time()
-    n_levels = (
-        truss.truss_numbers(spark, canonical).select("truss").distinct().count()
-    )
-    cascade_s = round(time.time() - t0, 3)
+    # full decomposition cascade (deep: ~levels × rounds Spark jobs) is
+    # opt-in — the A/B above is the per-round-cost evidence
+    cascade_s, n_levels = None, None
+    if os.environ.get("SPARK_GRAFT_TRUSS_CASCADE"):
+        t0 = time.time()
+        n_levels = (
+            truss.truss_numbers(spark, canonical).select("truss").distinct().count()
+        )
+        cascade_s = round(time.time() - t0, 3)
     spark.stop()
     print(
         json.dumps(

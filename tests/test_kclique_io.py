@@ -124,3 +124,20 @@ def test_vertex_order_and_label_loaders(spark, tmp_path):
     )
     pairs = [(r["src"], r["dst"]) for r in relabeled.collect()]
     assert synthetic.numpy_triangle_count(pairs) == 1
+
+
+def test_load_query_graphs(tmp_path):
+    """Reference .sm.queries format (sm.cpp:15-43): repeated blocks of
+    v_num e_num / labels / edge pairs (u>v normalized by swap)."""
+    from accelerating_tc_spark.sources import io as gio
+
+    p = tmp_path / "q.sm.queries"
+    p.write_text("3 3\n7 8 9\n0 1\n2 1\n0 2\n" "4 3\n0 1 2 3\n1 0\n1 2\n3 2\n")
+    qs = gio.load_query_graphs(str(p))
+    assert len(qs) == 2
+    labels0, edges0 = qs[0]
+    assert labels0 == {0: 7, 1: 8, 2: 9}
+    assert edges0 == [(0, 1), (1, 2), (0, 2)]  # '2 1' swapped
+    labels1, edges1 = qs[1]
+    assert labels1 == {0: 0, 1: 1, 2: 2, 3: 3}
+    assert edges1 == [(0, 1), (1, 2), (2, 3)]

@@ -178,3 +178,46 @@ def test_clean_corpus_gates(spark):
         for r in T.clean_corpus(docs, min_tokens=50, min_quality=0.0).collect()
     )
     assert kept == [1, 5]
+
+
+def test_synthetic_near_dup_corpus_planted_clusters(spark):
+    """The distributed bench corpus must contain exactly the planted
+    near-dup pairs (3 per 10-doc stride), and the LSH plan with
+    suggest_minhash_params must recover them all (verified == exact)."""
+    from accelerating_tc_spark.operators import dedup
+
+    n = 100
+    docs = dedup.synthetic_near_dup_corpus(spark, n).cache()
+    assert docs.count() == n
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    expected = set()
+    for base in range(0, n, 10):
+        expected |= {(base, base + 1), (base, base + 2), (base + 1, base + 2)}
+    assert exact == expected
+    bands, rpb = dedup.suggest_minhash_params(n, threshold=0.8)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.8, k=bands * rpb, bands=bands
+        ).collect()
+    }
+    assert got == exact
+    stats = dedup.minhash_dedup_stats(docs, threshold=0.8, k=bands * rpb, bands=bands)
+    assert stats["verified_pairs"] == len(exact)
+    assert stats["candidates"] >= len(exact)
+    assert stats["max_bucket"] >= 2
+
+
+def test_suggest_minhash_params_scaling():
+    from accelerating_tc_spark.operators import dedup
+
+    b_small, r_small = dedup.suggest_minhash_params(500, threshold=0.8)
+    b_big, r_big = dedup.suggest_minhash_params(100_000, threshold=0.8)
+    assert r_big > r_small  # selectivity grows with corpus size
+    # recall target holds at the threshold for both
+    for b, r in ((b_small, r_small), (b_big, r_big)):
+        recall = 1 - (1 - 0.8**r) ** b
+        assert recall >= 0.999
