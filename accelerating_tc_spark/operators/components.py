@@ -39,20 +39,24 @@ def connected_components_run(
     if algorithm not in ("jump", "minlabel"):
         raise ValueError(f"unknown algorithm: {algorithm}")
     n_part = spark.sparkContext.defaultParallelism
-    sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
-    init = sym.select(F.col("src").alias("vertex")).distinct().select(
-        "vertex", F.col("vertex").alias("component")
+    sym_raw = prep.symmetrize(canonical)
+    verts = sym_raw.select(F.col("src").alias("vertex")).distinct()
+    # self-loops folded into the cached relation make min(own, nbr-min)
+    # a SINGLE aggregate — the old separate keep-own-component left join
+    # was one of three per-round joins, for the same fixpoint
+    sym = (
+        sym_raw.union(verts.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst")))
+        .repartition(n_part, "src")
+        .cache()
     )
+    init = verts.select("vertex", F.col("vertex").alias("component"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        nbr_min = (
+        cand = (
             sym.join(state, sym["src"] == state["vertex"])
             .select(F.col("dst").alias("vertex"), F.col("component").alias("nbr_comp"))
             .groupBy("vertex")
-            .agg(F.min("nbr_comp").alias("nbr_comp"))
-        )
-        cand = state.join(nbr_min, "vertex", "left").select(
-            "vertex", F.least("component", F.coalesce("nbr_comp", "component")).alias("component")
+            .agg(F.min("nbr_comp").alias("component"))
         )
         if algorithm == "minlabel":
             return cand

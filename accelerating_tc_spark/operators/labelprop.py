@@ -12,7 +12,7 @@ window argmax — all standard shuffles on the vertex key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import prep, supersteps
@@ -31,8 +31,6 @@ def label_propagation(
         "vertex", F.col("vertex").alias("label")
     )
 
-    w = Window.partitionBy("vertex").orderBy(F.desc("cnt"), F.asc("label"))
-
     def step(state: DataFrame, i: int) -> DataFrame:
         nbr_labels = (
             sym.join(state, sym["src"] == state["vertex"])
@@ -40,14 +38,16 @@ def label_propagation(
             .groupBy("vertex", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        # every vertex of the symmetrized graph receives neighbor labels,
-        # so the argmax already yields one row per vertex — no keep-own-
-        # label left join needed (matches the oracle: its COALESCE branch
-        # is never taken on a graph with no isolated vertices)
-        return (
-            nbr_labels.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vertex", "label")
+        # argmax by (cnt DESC, label ASC) as a plain hash aggregate:
+        # max(struct(cnt, -label)) — no sort-window over the (vertex,
+        # label) table (early rounds have ~|E| such rows; a partitioned
+        # row_number sorts them all). Every vertex of the symmetrized
+        # graph receives neighbor labels, so this yields one row per
+        # vertex — no keep-own-label left join needed either (the
+        # oracle's COALESCE branch is never taken without isolated
+        # vertices).
+        return nbr_labels.groupBy("vertex").agg(
+            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).getField("nl")).alias("label")
         )
 
     run = supersteps.iterate(
