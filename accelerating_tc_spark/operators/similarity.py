@@ -174,6 +174,131 @@ def ann_topk_lsh(
     )
 
 
+# ------------------------------------------------------------------ IVF
+
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic k-means coarse quantizer over unit vectors.
+
+    Init = the unit vectors of the n_centroids smallest ids (seed-free
+    deterministic); each iteration is one Spark pass: assign every vector
+    to its nearest centroid (vectorized numpy matmul over Arrow batches),
+    then per-centroid mean via explode + groupBy. Centroids are C×dim
+    floats — driver-small by construction (C ~ sqrt(n) at scale), so the
+    literal-broadcast pattern holds at any corpus size.
+    """
+    unit = with_unit_vectors(embeddings, vec_col).select(id_col, "unit")
+    cents = [
+        list(r["unit"])
+        for r in unit.orderBy(id_col).limit(n_centroids).collect()
+    ]
+    for _ in range(n_iters):
+        assigned = unit.select(
+            "unit", F.element_at(_nearest_centroids(cents, 1), 1).alias("cid")
+        )
+        rows = (
+            assigned.select("cid", F.posexplode("unit").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, list[float]] = {}
+        for r in rows:
+            by_cid.setdefault(int(r["cid"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
+        # renormalize means to unit length (cosine k-means); empty
+        # centroids keep their previous position
+        new = []
+        for c in range(n_centroids):
+            if c in by_cid:
+                v = np.asarray(by_cid[c])
+                n = float(np.linalg.norm(v)) or 1.0
+                new.append((v / n).tolist())
+            else:
+                new.append(cents[c])
+        cents = new
+    return cents
+
+
+def _nearest_centroids(centroids: list[list[float]], n_probe: int) -> "F.Column":
+    """array<int> of the n_probe nearest centroid indices to the `unit`
+    column, by dot product — ONE pure-JVM expression over a literal
+    centroid matrix (a narrow map, no shuffle): score array -> sort
+    (negated score, index) structs -> slice. Scores are computed exactly
+    once; an iterative argmax-and-mask formulation re-nests the whole
+    score array per probe and blows the expression tree up ~C^n_probe."""
+    scores = F.array(
+        *[
+            _dot(F.col("unit"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    pairs = F.transform(
+        scores,
+        lambda s, i: F.struct((-s).alias("ns"), i.cast("int").alias("idx")),
+    )
+    top = F.slice(F.array_sort(pairs), 1, n_probe)
+    return F.transform(top, lambda x: x["idx"])
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer -> inverted lists keyed by nearest
+    centroid; a query scans only its n_probe nearest lists, reranked
+    exactly. Cost per query ~ n_probe/n_centroids of the corpus; at scale
+    n_centroids grows ~sqrt(n) so lists stay bounded — the classic IVF
+    shape, with the centroid table literal-broadcast (C×dim floats)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings, dim, n_centroids=n_centroids, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    base = with_unit_vectors(embeddings, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("unit").alias("unit_n"),
+        F.col("unit"),
+    ).select(
+        "neighbor_id", "unit_n", F.element_at(_nearest_centroids(centroids, 1), 1).alias("cid")
+    )
+    qu = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("unit_q"), F.col("unit")
+    )
+    probes = _nearest_centroids(centroids, n_probe)
+    q = qu.select(
+        "query_id", "unit_q", F.explode(probes).alias("cid")
+    )
+    scored = (
+        q.join(base, "cid")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("unit_q"), F.col("unit_n")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     dim: int,

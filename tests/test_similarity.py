@@ -107,3 +107,29 @@ def test_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         multimodal.decode_image(b"abc", fake=False)
+
+
+def test_ivf_ann_recall_and_determinism(spark):
+    """IVF path: k-means training is deterministic (seed-free init from
+    smallest ids), inverted-list probing with exact rerank must clear a
+    recall floor vs brute force on the same fixture LSH is tested on."""
+    emb = make_embeddings(spark)
+    queries = emb.where("vec_id < 10")
+    c1 = similarity.ivf_train_centroids(emb, dim=DIM, n_centroids=8, n_iters=3)
+    c2 = similarity.ivf_train_centroids(emb, dim=DIM, n_centroids=8, n_iters=3)
+    assert c1 == c2  # same data -> same centroids
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = similarity.ann_topk_ivf(
+        emb, queries, dim=DIM, k=5, n_probe=5, centroids=c1
+    ).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8
