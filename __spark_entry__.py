@@ -43,6 +43,7 @@ from accelerating_tc_spark.operators import (  # noqa: E402
     truss,
 )
 from accelerating_tc_spark.session import load_tables  # noqa: E402
+from accelerating_tc_spark.streaming import sessions as stream_sessions  # noqa: E402
 from accelerating_tc_spark.sources import tpch_graph  # noqa: E402
 
 # DuckDB CTEs building the exact same graph the Spark side builds.
@@ -491,6 +492,17 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap split per user) — the oracle-
+    checkable face of the stateful streaming sessionizer
+    (streaming/sessions.py; stream/batch parity pinned in
+    tests/test_streaming.py)."""
+    ev = load_tables(spark, sf_dir, names=("events",))["events"]
+    return stream_sessions.sessionize_batch(ev, gap_seconds=1800).orderBy(
+        "user_id", "session_start"
+    )
+
+
 def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
     return (
@@ -554,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_emb_near_dups_exact,
         "embedding_near_dups_lsh": _q_emb_near_dups_lsh,
         "events_hourly": _q_events_hourly,
+        "event_sessions": _q_event_sessions,
         "pricing_summary": _q_pricing_summary,
     }
 
@@ -949,6 +962,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(DISTINCT user_id)::BIGINT AS n_users
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
+        "event_sessions": stream_sessions.sessionize_oracle_sql(1800),
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 6) AS sum_qty,

@@ -154,3 +154,69 @@ def test_uncommitted_staging_discarded(spark, tmp_path):
     assert not os.path.isdir(m2._pending_dir(5))
     m2.process_batch(synthetic.edges_df(spark, [(1, 2), (0, 2)]), 5)
     assert m2.totals()["triangles"] == 1 and m2.totals()["edges"] == 3
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful sessionization (applyInPandasWithState): sessions emitted
+    by the stream (gap-split + event-time timeout) must equal the batch
+    lag/cumsum sessionizer over the same closed event log."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from accelerating_tc_spark.streaming import sessions as S
+
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir, exist_ok=True)
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def write_file(rows, name):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "user_id", "value"])
+        df = spark.createDataFrame(
+            pdf, schema="ts timestamp, event_type string, user_id long, value double"
+        )
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)  # distinct mtimes -> stable file-source batch order
+
+    real = [
+        (t0, "c", 1, 1.0),
+        (t0 + pd.Timedelta(seconds=10), "c", 1, 2.0),
+        (t0 + pd.Timedelta(seconds=2000), "c", 1, 4.0),  # > gap: new session
+        (t0 + pd.Timedelta(seconds=5), "v", 2, 8.0),
+    ]
+    write_file(real, "b0")
+    # two watermark-advancing sentinel batches so event-time timeouts fire
+    write_file([(t0 + pd.Timedelta(days=10), "s", 999, 0.0)], "b1")
+    write_file([(t0 + pd.Timedelta(days=20), "s", 999, 0.0)], "b2")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out = S.sessionize_stream(stream, gap_seconds=1800, watermark="10 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+        if r["user_id"] != 999
+    }
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(real, columns=["ts", "event_type", "user_id", "value"]),
+        schema="ts timestamp, event_type string, user_id long, value double",
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in S.sessionize_batch(batch_df, gap_seconds=1800).collect()
+    }
+    assert got == expected
+    assert len(expected) == 3  # u1 x2 sessions, u2 x1
