@@ -143,23 +143,69 @@ def rolling_fingerprints(documents: DataFrame, window: int = 16) -> DataFrame:
     per Arrow batch (polynomial rolling hash computed with cumulative
     products in C, no per-byte Python)."""
 
+    # B is odd -> invertible mod 2^64, so prefix hashes vectorize across a
+    # WHOLE batch at once: H_j = B^(j-1) · Σ_{k<j} b_k·B^(-k) (all uint64
+    # wraparound arithmetic = mod 2^64), and any window's hash is
+    # H_{j+w} − H_j·B^w — including windows of the concatenation of many
+    # docs, as long as per-doc valid ranges exclude boundary-spanning
+    # positions. No per-doc Python loop remains; per-doc mins come from
+    # np.minimum.reduceat over the valid slices.
+    b_inv = np.uint64(pow(int(_B), -1, 1 << 64))
+
+    def _chunk_fps(enc: list[bytes], w: int) -> np.ndarray:
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        n = int(lens.sum())
+        fps = np.zeros(len(enc), dtype=np.int64)
+        if n == 0:
+            return fps
+        b = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+        pow_b = np.empty(n + 1, dtype=np.uint64)
+        pow_b[0] = 1
+        np.cumprod(np.full(n, _B, dtype=np.uint64), out=pow_b[1:])
+        pow_inv = np.empty(n, dtype=np.uint64)
+        pow_inv[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, b_inv, dtype=np.uint64), out=pow_inv[1:])
+        h = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(b * pow_inv, out=h[1:])
+        h[1:] *= pow_b[:n]  # H_j = B^(j-1) · S_j
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ends = starts + lens
+        long_mask = lens >= w
+        if long_mask.any():
+            wh = h[w:] - h[:-w] * pow_b[w]  # hash of every w-window
+            # trailing dummy so an exclusive end == len(wh) is a legal
+            # reduceat index (only even-position segments are kept)
+            wh = np.concatenate((wh, np.zeros(1, dtype=np.uint64)))
+            vs = starts[long_mask]
+            ve = ends[long_mask] - w + 1  # exclusive end of valid positions
+            pairs = np.empty(2 * len(vs), dtype=np.int64)
+            pairs[0::2], pairs[1::2] = vs, ve
+            mins = np.minimum.reduceat(wh, pairs)[0::2]
+            fps[long_mask] = mins.astype(np.int64)
+        short_mask = (~long_mask) & (lens > 0)
+        if short_mask.any():
+            s, e, ln = starts[short_mask], ends[short_mask], lens[short_mask]
+            vals = h[e] - h[s] * pow_b[ln]  # whole-doc polynomial hash
+            fps[short_mask] = vals.astype(np.int64)
+        return fps
+
+    # bound the working set: ~5 uint64 arrays over the chunk's bytes
+    _MAX_CHUNK_BYTES = 4 << 20
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            fps = np.zeros(len(pdf), dtype=np.int64)
-            for i, txt in enumerate(pdf["text"]):
-                b = np.frombuffer((txt or "").lower().encode(), dtype=np.uint8).astype(np.uint64)
-                if len(b) < window:
-                    h = np.uint64(0)
-                    for x in b:
-                        h = h * _B + x
-                    fps[i] = np.int64(h)
-                    continue
-                # rolling hash via strided window matmul-free evaluation:
-                # h_j = sum b[j+k] * B^(w-1-k); evaluate with a cumulative trick
-                powers = _B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
-                win = np.lib.stride_tricks.sliding_window_view(b, window)
-                hashes = (win * powers).sum(axis=1)  # uint64 wraparound = mod 2^64
-                fps[i] = np.int64(hashes.min().astype(np.int64))
+            enc = [(t or "").lower().encode() for t in pdf["text"]]
+            outs = []
+            i = 0
+            while i < len(enc):
+                j, nb = i, 0
+                while j < len(enc) and (nb == 0 or nb + len(enc[j]) <= _MAX_CHUNK_BYTES):
+                    nb += len(enc[j])
+                    j += 1
+                outs.append(_chunk_fps(enc[i:j], window))
+                i = j
+            fps = np.concatenate(outs) if outs else np.zeros(0, dtype=np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "minhash_fp": fps})
 
     return documents.select("doc_id", "text").mapInPandas(run, schema=_WINNOW_SCHEMA)

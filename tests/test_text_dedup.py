@@ -221,3 +221,40 @@ def test_suggest_minhash_params_scaling():
     for b, r in ((b_small, r_small), (b_big, r_big)):
         recall = 1 - (1 - 0.8**r) ** b
         assert recall >= 0.999
+
+
+def test_rolling_fingerprints_vectorized_equivalence(spark):
+    """The batched prefix-hash winnowing must equal the per-doc
+    sliding-window reference computation bit-for-bit (uint64 wraparound,
+    unsigned min), including short docs, empty docs, and None."""
+    import numpy as np
+    import pandas as pd
+
+    from accelerating_tc_spark.operators import text as T
+
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(0, 120))
+        docs.append("".join(chr(int(c)) for c in rng.integers(97, 123, n)))
+    docs += ["", None, "exactly16bytes!!", "short"]
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    df = spark.createDataFrame(pdf, schema="doc_id long, text string")
+    got = {
+        r["doc_id"]: r["minhash_fp"]
+        for r in T.rolling_fingerprints(df, window=16).collect()
+    }
+
+    B = np.uint64(1099511628211)
+    for i, txt in enumerate(docs):
+        b = np.frombuffer((txt or "").lower().encode(), dtype=np.uint8).astype(np.uint64)
+        if len(b) < 16:
+            h = np.uint64(0)
+            for x in b:
+                h = h * B + x
+            expected = np.int64(h)
+        else:
+            powers = B ** np.arange(15, -1, -1, dtype=np.uint64)
+            win = np.lib.stride_tricks.sliding_window_view(b, 16)
+            expected = np.int64((win * powers).sum(axis=1).min())
+        assert got[i] == expected, f"doc {i}"
