@@ -89,6 +89,28 @@ def subgraph_match_count(
     return emb.agg(F.count(F.lit(1)).cast("long").alias("embeddings"))
 
 
+def subgraph_match_counts_from_file(
+    spark,
+    edges_raw: DataFrame,
+    vertex_labels: DataFrame,
+    path: str,
+) -> DataFrame:
+    """Run EVERY query in a reference `.sm.queries` file (the batch shape
+    of sm.cpp's main loop, sm.cpp:60-112): one row (query_idx, embeddings)
+    per query block. Queries are few and tiny by construction, so the
+    driver-side loop mirrors the reference's sequential query loop; each
+    count is a full distributed job."""
+    from ..sources.io import load_query_graphs
+
+    rows = []
+    for i, (qlabels, qedges) in enumerate(load_query_graphs(path)):
+        n = subgraph_match_count(edges_raw, vertex_labels, qlabels, qedges).first()[
+            "embeddings"
+        ]
+        rows.append((i, int(n)))
+    return spark.createDataFrame(rows, "query_idx int, embeddings long")
+
+
 def subgraph_match_oracle_sql(
     edges_cte: str,
     labels_cte: str,

@@ -60,6 +60,34 @@ def read_labels(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.csv(path, sep=" ", schema="vertex LONG, label INT", comment="#")
 
 
+def write_edges_bucketed(
+    edges: DataFrame, table_name: str, n_buckets: int = 32, path: str | None = None
+) -> None:
+    """Persist the edge table BUCKETED by src (+ sorted within buckets):
+    the storage-level co-location contract. Any later join or aggregation
+    keyed on src reads matching buckets with NO exchange on the bucketed
+    side — for a saved graph queried repeatedly (the analytics-service
+    shape), the per-query shuffle of the adjacency build disappears.
+    Sandbox parquet stands in for Iceberg bucket transforms; the plan
+    property is asserted in tests (zero Exchange in a bucketed
+    self-join)."""
+    w = (
+        edges.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "src")
+        .sortBy("src", "dst")
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read a bucketed edge table with its bucket metadata (spark.table —
+    a raw parquet read would drop the co-location contract)."""
+    return spark.table(table_name)
+
+
 def load_query_graphs(path: str) -> list[tuple[dict[int, int], list[tuple[int, int]]]]:
     """Parse the reference's .sm.queries text format (sm.cpp:15-43):
     whitespace-separated ints, repeated blocks of

@@ -141,3 +141,36 @@ def test_load_query_graphs(tmp_path):
     labels1, edges1 = qs[1]
     assert labels1 == {0: 0, 1: 1, 2: 2, 3: 3}
     assert edges1 == [(0, 1), (1, 2), (2, 3)]
+
+
+def test_bucketed_edges_join_without_exchange(spark, tmp_path):
+    """Bucketed storage must deliver its co-location contract: a self-join
+    on the bucket key plans with ZERO Exchange operators (vs 2 for plain
+    parquet), and values round-trip exactly."""
+    from accelerating_tc_spark.sources import io as gio
+    from accelerating_tc_spark.sources import synthetic
+
+    pairs = synthetic.powerlaw_edge_pairs(100, 400, seed=23).tolist()
+    edges = synthetic.edges_df(spark, pairs)
+    gio.write_edges_bucketed(
+        edges, "bkt_edges_test", n_buckets=4, path=str(tmp_path / "bkt")
+    )
+    try:
+        t = gio.read_bucketed(spark, "bkt_edges_test")
+        assert t.count() == edges.count()
+        # force the sort-merge path (tiny test tables would broadcast and
+        # trivially skip the shuffle): bucketed sides must still plan with
+        # ZERO shuffle exchanges, while plain parquet needs two
+        joined = t.alias("a").hint("merge").join(t.alias("b"), "src")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        plain = spark.read.parquet(str(tmp_path / "bkt"))
+        base = plain.alias("a").hint("merge").join(plain.alias("b"), "src")
+        base_plan = base._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in base_plan
+        # groupBy on the bucket key also skips the exchange
+        agg = t.groupBy("src").count()
+        plan2 = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan2, plan2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_edges_test")

@@ -146,3 +146,30 @@ def test_maximal_cliques_known(spark):
     edges = synthetic.edges_df(spark, pairs)
     got = sorted(tuple(r["clique"]) for r in maxclique.maximal_cliques(edges).collect())
     assert got == [(0, 1, 2, 3), (0, 10, 11), (11, 20)]
+
+
+def test_subgraph_match_counts_from_file(spark, tmp_path):
+    """Multi-query .sm.queries file: labeled triangle + labeled P3 path on
+    a known graph, counts checked by hand."""
+    from accelerating_tc_spark.operators import subgraph
+    from accelerating_tc_spark.sources import synthetic
+
+    # K4 over vertices 0..3 with labels = vertex % 2
+    edges = synthetic.edges_df(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    labels = spark.createDataFrame(
+        [(v, v % 2) for v in range(4)], "vertex long, label int"
+    )
+    qfile = tmp_path / "multi.sm.queries"
+    # q0: triangle labeled (0,1,0); q1: path 0-1 (single labeled edge)
+    qfile.write_text("3 3\n0 1 0\n0 1\n1 2\n0 2\n" "2 1\n0 1\n0 1\n")
+    out = {
+        r["query_idx"]: r["embeddings"]
+        for r in subgraph.subgraph_match_counts_from_file(
+            spark, edges, labels, str(qfile)
+        ).collect()
+    }
+    # triangles with labels (0,1,0): pick q1 from {1,3}(label 1), q0/q2 from
+    # {0,2} ordered pairs -> 2 * 2 = 4 embeddings
+    assert out[0] == 4
+    # labeled edge (0,1): ordered (even, odd) adjacent pairs: 2*2 = 4
+    assert out[1] == 4
