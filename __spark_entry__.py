@@ -272,13 +272,16 @@ def _q_bsr_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge-extraction front end (input_hint): deterministic synthetic web
-    corpus -> normalized links -> dense-ID canonical edge table. Rows-only
-    check here; byte-identical text + link-structure invariants are pinned
-    in tests/test_pages.py."""
+    """Edge-extraction front end (input_hint), now ORACLE-CHECKED end to
+    end: the distributed corpus's link structure is pure arithmetic
+    (ring/root/cross/mod-10 '../' links), so DuckDB constructs the
+    expected normalized dense-ID edge table analytically — the whole
+    HTML-parse -> href-resolve -> URL-normalize -> dense-ID pipeline must
+    reproduce it hash-exactly. Byte-identical text invariants are
+    additionally pinned in tests/test_pages.py."""
     from accelerating_tc_spark.sources import pages as P
 
-    corpus = P.generate_pages(spark, n_sites=10, pages_per_site=10)
+    corpus = P.generate_pages_distributed(spark, n_sites=10, pages_per_site=10)
     edges, _mapping = P.pages_to_edges(corpus)
     return edges.orderBy("src", "dst")
 
@@ -798,6 +801,40 @@ SELECT ROUND((SELECT SUM(b) FROM o) / m, 6) AS out_comp_ratio,
        ROUND((SELECT SUM(b) FROM i) / m, 6) AS in_comp_ratio,
        ROUND(((SELECT SUM(b) FROM o) / m + (SELECT SUM(b) FROM i) / m) / 2, 6) AS comp_ratio
 FROM m
+""",
+        # analytic reconstruction of the distributed corpus's link graph:
+        # every page links next-in-ring, site root, next-site p0, and (on
+        # the mod-10 rule) ../p{(7s+3p)%10}; self-links drop, urls get
+        # dense ids by lexicographic rank — byte-order identical in Spark
+        # (UTF8 binary) and DuckDB (binary collation) for these ASCII urls
+        "web_edges": """
+WITH pages AS (
+  SELECT s.range AS s, p.range AS p FROM range(10) s, range(10) p
+),
+raw_links AS (
+  SELECT s AS s1, p AS p1, s AS s2, (p+1) % 10 AS p2 FROM pages
+  UNION ALL SELECT s, p, s, 0 FROM pages
+  UNION ALL SELECT s, p, (s+1) % 10, 0 FROM pages
+  UNION ALL SELECT s, p, s, (s*7 + p*3) % 10 FROM pages WHERE (s*31 + p) % 10 < 3
+),
+lnk AS (
+  SELECT format('http://site{}.example/p{}', s1, p1) AS src_url,
+         format('http://site{}.example/p{}', s2, p2) AS dst_url
+  FROM raw_links WHERE NOT (s1 = s2 AND p1 = p2)
+),
+urls AS (
+  SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS vid FROM (
+    SELECT DISTINCT src_url AS url FROM lnk
+    UNION SELECT DISTINCT dst_url FROM lnk
+  )
+)
+SELECT DISTINCT LEAST(a.vid, b.vid)::BIGINT AS src,
+                GREATEST(a.vid, b.vid)::BIGINT AS dst
+FROM lnk
+JOIN urls a ON a.url = lnk.src_url
+JOIN urls b ON b.url = lnk.dst_url
+WHERE a.vid <> b.vid
+ORDER BY src, dst
 """,
         "doc_stats": _TOKS_CTE
         + """
