@@ -103,3 +103,23 @@ def test_local_clustering_known(spark):
     assert rows[1]["clustering"] == 1.0
     assert abs(rows[2]["clustering"] - round(1 / 3, 6)) < 1e-9
     assert rows[3]["clustering"] == 0.0 and rows[3]["tri_cnt"] == 0
+
+
+def test_triangle_count_estimate_unbiased_ballpark(spark):
+    """DOULION sampled estimate: deterministic coin, so the estimate is a
+    fixed value per (graph, p, seed); it must land within the
+    concentration envelope of the exact count on a triangle-rich graph."""
+    pairs = synthetic.powerlaw_edge_pairs(400, 4000, seed=12)
+    exact = synthetic.numpy_triangle_count(pairs)
+    edges = synthetic.edges_df(spark, pairs.tolist())
+    row = triangles.triangle_count_estimate(edges, p=0.5, seed=42).collect()[0]
+    assert row["p"] == 0.5
+    assert 0 < row["sampled_edges"] < len(pairs)
+    # p=0.5 on thousands of triangles: 3-sigma envelope is well under 40%
+    assert abs(row["triangles_est"] - exact) / exact < 0.4, (
+        row["triangles_est"],
+        exact,
+    )
+    # determinism: same coin -> same estimate
+    again = triangles.triangle_count_estimate(edges, p=0.5, seed=42).collect()[0]
+    assert again["triangles_est"] == row["triangles_est"]
