@@ -1,0 +1,140 @@
+"""Incremental connected components over an append-only edge stream.
+
+Batch CC recomputes O(log n) supersteps over the WHOLE graph; on a stream
+that is wasted work — new edges can only MERGE components, never split
+them (append-only ⇒ labels are monotone non-increasing). Per micro-batch:
+
+1. map the Δ edges' endpoints to their current labels (join ∝ |Δ|;
+   unseen vertices label themselves),
+2. contract: Δ edges whose endpoints already share a label are no-ops;
+   the rest form a SUPER-GRAPH over touched labels only,
+3. run pointer-jumping CC on that super-graph (∝ touched components,
+   never ∝ |V|),
+4. fold the resulting label→label remap (broadcast-small) into the label
+   store and append newly-seen vertices.
+
+The store rewrite is the sandbox's parquet stand-in for an Iceberg
+MERGE INTO (which would touch only changed partitions); the interesting
+cost — steps 1-3 — is Δ-proportional, matching the incremental triangle
+maintainer's posture (streaming/edges.py).
+
+Idempotency falls out of monotonicity: re-delivered edges try to merge
+already-merged components and change nothing, so no dedup store is
+needed. Crash safety: the label table is the ONLY state and is replaced
+by atomic directory rename; a crash mid-batch leaves the previous table
+intact and the replayed batch recomputes the identical merge.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import components, prep
+
+LABEL_SCHEMA = "vertex long, component long"
+
+
+class ComponentMaintainer:
+    """foreachBatch sink: parquet (vertex, component) store, exact labels
+    (component = min vertex id in the component) after every batch."""
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.labels_path = os.path.join(state_dir, "labels")
+        os.makedirs(state_dir, exist_ok=True)
+
+    def labels(self) -> DataFrame:
+        if os.path.isdir(self.labels_path) and any(
+            n.endswith(".parquet") for n in os.listdir(self.labels_path)
+        ):
+            return self.spark.read.parquet(self.labels_path)
+        return self.spark.createDataFrame([], LABEL_SCHEMA)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        delta = prep.canonicalize_edges(batch_df).localCheckpoint(eager=True)
+        if delta.limit(1).count() == 0:
+            return
+        old = self.labels()
+
+        # 1. endpoint labels (new vertices label themselves)
+        la = old.select(F.col("vertex").alias("src"), F.col("component").alias("la"))
+        lb = old.select(F.col("vertex").alias("dst"), F.col("component").alias("lb"))
+        tagged = (
+            delta.join(la, "src", "left")
+            .join(lb, "dst", "left")
+            .select(
+                F.coalesce("la", F.col("src")).alias("la"),
+                F.coalesce("lb", F.col("dst")).alias("lb"),
+            )
+        )
+        # 2. contract to the super-graph of touched labels
+        super_edges = tagged.where(F.col("la") != F.col("lb")).select(
+            F.least("la", "lb").alias("src"), F.greatest("la", "lb").alias("dst")
+        )
+        remap = None
+        if super_edges.limit(1).count() > 0:
+            # 3. CC over the touched-label super-graph (small by construction)
+            merged = components.connected_components(self.spark, super_edges)
+            remap = merged.where(F.col("vertex") != F.col("component")).select(
+                F.col("vertex").alias("old_label"), F.col("component").alias("new_label")
+            )
+
+        # 4. fold remap + append new vertices (their component follows the
+        # same remap: a fresh vertex's self-label may itself be merged)
+        new_verts = (
+            delta.select(F.col("src").alias("vertex"))
+            .union(delta.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .join(old.select("vertex"), "vertex", "left_anti")
+            .select("vertex", F.col("vertex").alias("component"))
+        )
+        full = old.unionByName(new_verts)
+        if remap is not None:
+            full = full.join(
+                F.broadcast(remap.withColumnRenamed("old_label", "component")),
+                "component",
+                "left",
+            ).select(
+                "vertex", F.coalesce("new_label", "component").alias("component")
+            )
+
+        tmp = self.labels_path + ".tmp"
+        full.write.mode("overwrite").parquet(tmp)
+        out_old = self.labels_path + ".old"
+        if os.path.isdir(out_old):
+            shutil.rmtree(out_old)
+        if os.path.isdir(self.labels_path):
+            os.rename(self.labels_path, out_old)
+        os.rename(tmp, self.labels_path)
+        if os.path.isdir(out_old):
+            shutil.rmtree(out_old)
+
+
+def run_incremental_components(
+    spark: SparkSession,
+    input_path: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Wire the stream: parquet edge files in input_path -> label store."""
+    maintainer = ComponentMaintainer(spark, state_dir)
+    stream = (
+        spark.readStream.schema("src long, dst long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    writer = stream.writeStream.foreachBatch(maintainer.process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    if available_now:
+        query.awaitTermination()
+    return maintainer, query

@@ -220,3 +220,44 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(expected) == 3  # u1 x2 sessions, u2 x1
+
+
+def test_incremental_components_matches_batch(spark, tmp_path):
+    """Incremental CC: labels after each replayed prefix must equal batch
+    CC of everything delivered so far — including cross-batch merges of
+    previously separate components — and re-delivery is a no-op."""
+    import time as _time
+
+    from accelerating_tc_spark.operators import components as C
+    from accelerating_tc_spark.operators import prep
+    from accelerating_tc_spark.streaming import components as SC
+
+    in_dir = str(tmp_path / "in")
+    batches = [
+        [(1, 2), (3, 4), (10, 11)],       # three components
+        [(2, 3), (20, 21)],               # merges {1,2}+{3,4}; new comp
+        [(4, 10), (21, 1)],               # chains everything except...
+        [(1, 2)],                         # pure re-delivery: no-op
+    ]
+    delivered: list = []
+    maintainer = None
+    for i, b in enumerate(batches):
+        synthetic.edges_df(spark, b).coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+        maintainer, _ = SC.run_incremental_components(
+            spark, in_dir, str(tmp_path / "state"), str(tmp_path / "ckpt")
+        )
+        delivered += b
+        got = {
+            r["vertex"]: r["component"] for r in maintainer.labels().collect()
+        }
+        exact = {
+            r["vertex"]: r["component"]
+            for r in C.connected_components(
+                spark, prep.canonicalize_edges(synthetic.edges_df(spark, delivered))
+            ).collect()
+        }
+        assert got == exact, f"after batch {i}"
+    # final shape: {1,2,3,4,10,11,20,21} one component
+    labels = {r["component"] for r in maintainer.labels().collect()}
+    assert labels == {1}
