@@ -134,6 +134,7 @@ def clean_corpus(
 
 
 _WINNOW_SCHEMA = "doc_id long, minhash_fp long"
+_WINNOW_SET_SCHEMA = "doc_id long, fingerprint long"
 _B = np.uint64(1099511628211)  # FNV-ish rolling base (public constant)
 
 
@@ -190,22 +191,145 @@ def rolling_fingerprints(documents: DataFrame, window: int = 16) -> DataFrame:
             fps[short_mask] = vals.astype(np.int64)
         return fps
 
-    # bound the working set: ~5 uint64 arrays over the chunk's bytes
-    _MAX_CHUNK_BYTES = 4 << 20
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             enc = [(t or "").lower().encode() for t in pdf["text"]]
-            outs = []
-            i = 0
-            while i < len(enc):
-                j, nb = i, 0
-                while j < len(enc) and (nb == 0 or nb + len(enc[j]) <= _MAX_CHUNK_BYTES):
-                    nb += len(enc[j])
-                    j += 1
-                outs.append(_chunk_fps(enc[i:j], window))
-                i = j
+            outs = [
+                _chunk_fps(chunk, window) for chunk in _byte_chunks(enc)
+            ]
             fps = np.concatenate(outs) if outs else np.zeros(0, dtype=np.int64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "minhash_fp": fps})
 
     return documents.select("doc_id", "text").mapInPandas(run, schema=_WINNOW_SCHEMA)
+
+
+# bound the working set of the batched hash kernels (~6 uint64 arrays +
+# a g-wide strided view over the chunk's bytes)
+_MAX_CHUNK_BYTES = 4 << 20
+
+
+def _byte_chunks(enc: list[bytes]) -> Iterator[list[bytes]]:
+    i = 0
+    while i < len(enc):
+        j, nb = i, 0
+        while j < len(enc) and (nb == 0 or nb + len(enc[j]) <= _MAX_CHUNK_BYTES):
+            nb += len(enc[j])
+            j += 1
+        yield enc[i:j]
+        i = j
+
+
+def winnowing_fingerprint_set(
+    documents: DataFrame, k: int = 16, guarantee: int = 8
+) -> DataFrame:
+    """TRUE winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+    algorithm): hash every k-byte substring, then keep each g-window's
+    MINIMUM hash; the distinct selected hashes are the document's
+    fingerprint SET. Guarantees: any shared substring of length >= k+g-1
+    yields a shared fingerprint — the basis for CONTAINMENT detection
+    (quotes, partial plagiarism) that whole-document signatures miss.
+
+    Same batched prefix-hash machinery as rolling_fingerprints (modular-
+    inverse prefix hashes over the chunk concatenation); the g-window
+    minima come from one strided-view min over the global hash array with
+    doc-boundary-spanning windows masked by valid ranges. Short docs
+    (fewer than g windows) keep the min of what exists; docs shorter than
+    k keep their whole-doc hash.
+    Output: (doc_id, fingerprint) multi-rows.
+    """
+    b_inv = np.uint64(pow(int(_B), -1, 1 << 64))
+
+    def _chunk_sets(enc: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_idx, fingerprint) pairs, deduplicated, for one chunk."""
+        lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=len(enc))
+        n = int(lens.sum())
+        if n == 0:
+            return (
+                np.arange(len(enc), dtype=np.int64),
+                np.zeros(len(enc), dtype=np.int64),
+            )
+        b = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+        pow_b = np.empty(n + 1, dtype=np.uint64)
+        pow_b[0] = 1
+        np.cumprod(np.full(n, _B, dtype=np.uint64), out=pow_b[1:])
+        pow_inv = np.empty(n, dtype=np.uint64)
+        pow_inv[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, b_inv, dtype=np.uint64), out=pow_inv[1:])
+        h = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(b * pow_inv, out=h[1:])
+        h[1:] *= pow_b[:n]
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ends = starts + lens
+
+        doc_parts: list[np.ndarray] = []
+        fp_parts: list[np.ndarray] = []
+        long_mask = lens >= k
+        if long_mask.any() and n >= k:
+            wh = h[k:] - h[:-k] * pow_b[k]  # every k-gram's hash
+            g = guarantee
+            if len(wh) >= g:
+                smin = np.min(
+                    np.lib.stride_tricks.sliding_window_view(wh, g), axis=1
+                )
+            else:
+                smin = np.zeros(0, dtype=np.uint64)
+            for i in np.nonzero(long_mask)[0]:
+                lo, hi = int(starts[i]), int(ends[i]) - k + 1  # k-gram range
+                if hi - lo >= g:
+                    sel = np.unique(smin[lo : hi - g + 1])
+                else:
+                    sel = wh[lo:hi].min(keepdims=True)
+                doc_parts.append(np.full(len(sel), i, dtype=np.int64))
+                fp_parts.append(sel.astype(np.int64))
+        short_mask = ~long_mask
+        if short_mask.any():
+            s, e, ln = starts[short_mask], ends[short_mask], lens[short_mask]
+            vals = (h[e] - h[s] * pow_b[ln]).astype(np.int64)
+            doc_parts.append(np.nonzero(short_mask)[0].astype(np.int64))
+            fp_parts.append(vals)
+        return np.concatenate(doc_parts), np.concatenate(fp_parts)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            enc = [(t or "").lower().encode() for t in pdf["text"]]
+            outs = []
+            off = 0
+            for chunk in _byte_chunks(enc):
+                d, f = _chunk_sets(chunk)
+                outs.append(
+                    pd.DataFrame({"doc_id": ids[off + d], "fingerprint": f})
+                )
+                off += len(chunk)
+            out = (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame({"doc_id": [], "fingerprint": []})
+            )
+            yield out
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run, schema=_WINNOW_SET_SCHEMA
+    )
+
+
+def containment_candidates(
+    documents: DataFrame, k: int = 16, guarantee: int = 8, min_shared: int = 2
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fps): document pairs sharing >= min_shared
+    winnowed fingerprints — the containment/partial-overlap detector
+    (a long quote of one doc inside another shares its selected
+    fingerprints even when whole-document similarity is near zero, which
+    MinHash/SimHash cannot see). Join cost ~ fingerprint bucket sizes,
+    never all-pairs — the same bucketed shape as the LSH detectors."""
+    fps = winnowing_fingerprint_set(documents, k=k, guarantee=guarantee)
+    a = fps.withColumnRenamed("doc_id", "doc_a")
+    b = fps.withColumnRenamed("doc_id", "doc_b")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

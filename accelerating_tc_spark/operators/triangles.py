@@ -176,8 +176,17 @@ def _blocked_partials(
       independent of wedge count (reference TriCore pair loop,
       tricount_gpu.cu:337-408; n_blocks is the `cal_part_num` analog).
 
-    hub_threshold=None auto-detects (8× average degree, floor 96);
-    an enormous threshold disables the hub route for A/B comparison.
+    hub_threshold=None (the DEFAULT) disables the hub route: with the
+    degree orientation in force, every out-adjacency is arboricity-bounded
+    (O(sqrt m)), so the hash-blocked cogroup has no wedge-work straggler
+    even under a planted mega-hub — a warmed interleaved A/B on the
+    V=200k/E=2M Zipf + mega-hub fixture measures the pure cogroup FASTER
+    than the routed plan in every round (BENCH.md §5h; the r2 table that
+    showed the opposite was cold-run warm-up-order bias). Pass an int
+    threshold to route vertices of that total degree through the
+    broadcast-probe path — the escape hatch for hubs whose per-block-row
+    edge mass threatens task memory at cluster scale (auto-B already
+    grows B for shard memory, so this is rare by construction).
     """
     spark = oriented.sparkSession
     if deg is None:
@@ -196,14 +205,7 @@ def _blocked_partials(
             spark.sparkContext.defaultParallelism, int(stats["two_m"] or 0) // 2
         )
     if hub_threshold is None:
-        # a vertex breaks the cogroup only when its edges alone rival a
-        # block row's fair share: deg(h)/B edges land in each of its B
-        # tasks vs m/B² per task overall -> hub iff deg >= m/(2B). Routing
-        # merely-above-average vertices through the probe path costs more
-        # than it saves (measured: 8x-avg thresholds routed 80% of a Zipf
-        # graph's edges for a 2-3x slowdown).
-        m = int(stats["two_m"] or 0) // 2
-        hub_threshold = max(96, m // (2 * n_blocks))
+        hub_threshold = 1 << 62  # hub route off by default (see docstring)
 
     if stats["max_deg"] is None or stats["max_deg"] < hub_threshold:
         # no hubs: pure bounded-shuffle cogroup, zero hub-path overhead

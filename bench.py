@@ -271,6 +271,11 @@ def run_skew() -> None:
     oriented.count()
 
     def measure(hub_threshold):
+        # warm once per config — the r2 single-shot protocol's apparent
+        # hub-route win was warm-up-order bias (BENCH.md §5h)
+        triangles.blocked_task_stats(
+            oriented, n_blocks=16, hub_threshold=hub_threshold
+        ).collect()
         t0 = time.time()
         row = triangles.blocked_task_stats(
             oriented, n_blocks=16, hub_threshold=hub_threshold
@@ -284,8 +289,8 @@ def run_skew() -> None:
             "skew_ratio": round(row["max_task_s"] / max(row["median_task_s"], 1e-9), 1),
         }
 
-    off = measure(2**62)
-    on = measure(None)
+    off = measure(None)  # default: no hub route
+    on = measure(100_000)  # route the planted mega-hub explicitly
     spark.stop()
     print(
         json.dumps(

@@ -258,3 +258,83 @@ def test_rolling_fingerprints_vectorized_equivalence(spark):
             win = np.lib.stride_tricks.sliding_window_view(b, 16)
             expected = np.int64((win * powers).sum(axis=1).min())
         assert got[i] == expected, f"doc {i}"
+
+
+def py_winnow(text: str, k: int, g: int) -> set:
+    """Reference winnowing: k-gram rolling hashes, min per g-window."""
+    import numpy as np
+
+    B = np.uint64(1099511628211)
+    b = np.frombuffer((text or "").lower().encode(), dtype=np.uint8).astype(np.uint64)
+    if len(b) == 0:
+        return {0}
+    if len(b) < k:
+        h = np.uint64(0)
+        for x in b:
+            h = h * B + x
+        return {int(np.int64(h))}
+    powers = B ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    wh = np.lib.stride_tricks.sliding_window_view(b, k)
+    wh = (wh * powers).sum(axis=1)
+    if len(wh) < g:
+        return {int(np.int64(wh.min()))}
+    mins = np.lib.stride_tricks.sliding_window_view(wh, g).min(axis=1)
+    return {int(x) for x in np.unique(mins).astype(np.int64)}
+
+
+def test_winnowing_fingerprint_set_matches_reference(spark):
+    import numpy as np
+    import pandas as pd
+
+    from accelerating_tc_spark.operators import text as T
+
+    rng = np.random.default_rng(5)
+    docs = [
+        "".join(chr(int(c)) for c in rng.integers(97, 123, int(rng.integers(0, 200))))
+        for _ in range(30)
+    ] + ["", None, "tiny"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs}),
+        schema="doc_id long, text string",
+    )
+    got: dict = {}
+    for r in T.winnowing_fingerprint_set(df, k=16, guarantee=8).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for i, txt in enumerate(docs):
+        assert got[i] == py_winnow(txt or "", 16, 8), f"doc {i}"
+
+
+def test_containment_candidates_finds_quote(spark):
+    """A long quote embedded in an otherwise unrelated document must share
+    winnowed fingerprints (containment), while whole-doc Jaccard stays
+    tiny — the case MinHash-style near-dup detection misses by design."""
+    import numpy as np
+    import pandas as pd
+
+    from accelerating_tc_spark.operators import dedup, text as T
+
+    rng = np.random.default_rng(9)
+
+    def words(n, seed_off):
+        r = np.random.default_rng(seed_off)
+        return " ".join(
+            "".join(chr(int(c)) for c in r.integers(97, 123, 5)) for _ in range(n)
+        )
+
+    quote = words(30, 1)
+    doc_a = words(200, 2) + " " + quote  # source
+    doc_b = words(250, 3) + " " + quote + " " + words(50, 4)  # quoting doc
+    doc_c = words(220, 5)  # unrelated
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [doc_a, doc_b, doc_c]}),
+        schema="doc_id long, text string",
+    )
+    cands = {
+        (r["doc_a"], r["doc_b"]): r["shared_fps"]
+        for r in T.containment_candidates(df, k=16, guarantee=8, min_shared=2).collect()
+    }
+    assert (0, 1) in cands and cands[(0, 1)] >= 2
+    assert (0, 2) not in cands and (1, 2) not in cands
+    # the same pair is invisible to whole-document near-dup similarity
+    jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert jac == []

@@ -61,20 +61,21 @@ def test_blocked_hub_route_parity(spark, hub_threshold):
 
 
 def test_blocked_mega_hub_parity(spark):
-    """Planted mega-hub (one vertex adjacent to half the graph) with auto
-    threshold: hub route must engage and the count must stay exact."""
+    """Planted mega-hub (one vertex adjacent to half the graph): the
+    default (no hub route) and an explicitly-engaged hub route must both
+    be exact."""
     edges = synthetic.hub_edges(spark, n_vertices=300)
     pairs = [(r["src"], r["dst"]) for r in edges.collect()]
     expected = synthetic.numpy_triangle_count(pairs)
     got = _count(triangles.count_triangles(edges, strategy="blocked", n_blocks=4))
     assert got == expected
-    # disabling the hub route must give the same answer
-    got_off = _count(
+    # explicitly routing the mega-hub must give the same answer
+    got_on = _count(
         triangles.count_triangles(
-            edges, strategy="blocked", n_blocks=4, hub_threshold=2**62
+            edges, strategy="blocked", n_blocks=4, hub_threshold=50
         )
     )
-    assert got_off == expected
+    assert got_on == expected
 
 
 def test_blocked_task_stats_schema(spark):
