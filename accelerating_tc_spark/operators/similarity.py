@@ -174,6 +174,40 @@ def ann_topk_lsh(
     )
 
 
+def suggest_lsh_params(
+    threshold: float,
+    target_recall: float = 0.999,
+    max_tables: int = 64,
+    max_planes: int = 12,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) for sign-bit LSH near-dup detection at a cosine
+    threshold (embedding_near_dup_pairs / ann_topk_lsh).
+
+    Math (the docstring union bound, made executable): per-plane
+    disagreement p = arccos(threshold)/π; a pair lands within Hamming<=1 of
+    a table's bucket with q = (1-p)^b + b·p·(1-p)^(b-1); recall over L
+    tables is 1-(1-q)^L. The LARGEST b whose required L fits max_tables is
+    chosen: b is the bucket-selectivity dial (bigger b = smaller buckets =
+    less exact-verify work), L buys the recall back. b is capped because
+    probe count (b+1 buckets/table) and plan width grow with it.
+    """
+    import math
+
+    p = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    best = (1, max_tables)
+    for b in range(1, max_planes + 1):
+        q = (1.0 - p) ** b + b * p * (1.0 - p) ** (b - 1)
+        if q >= 1.0:
+            lt = 1
+        elif q <= 0.0:
+            continue
+        else:
+            lt = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - q)))
+        if lt <= max_tables:
+            best = (b, lt)
+    return best
+
+
 # ------------------------------------------------------------------ IVF
 
 def ivf_train_centroids(

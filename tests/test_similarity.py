@@ -133,3 +133,29 @@ def test_ivf_ann_recall_and_determinism(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_suggest_lsh_params_recall_math(spark):
+    """The chosen (b, L) must satisfy the recall bound at the threshold,
+    and higher thresholds (easier pairs) must allow more selective b."""
+    import math
+
+    for threshold in (0.45, 0.8, 0.95):
+        b, L = similarity.suggest_lsh_params(threshold, target_recall=0.999)
+        p = math.acos(threshold) / math.pi
+        q = (1 - p) ** b + b * p * (1 - p) ** (b - 1)
+        assert 1 - (1 - q) ** L >= 0.999, (threshold, b, L)
+        assert 1 <= L <= 64 and 1 <= b <= 12
+    b_hard, _ = similarity.suggest_lsh_params(0.45)
+    b_easy, _ = similarity.suggest_lsh_params(0.95)
+    assert b_easy >= b_hard
+    # the params recover the contract's planted pairs end-to-end
+    emb = make_embeddings(spark)
+    b, L = similarity.suggest_lsh_params(0.999, target_recall=0.999)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs(
+            emb, dim=DIM, threshold=0.999, n_planes=b, n_tables=L
+        ).collect()
+    }
+    assert (0, N) in pairs
