@@ -707,8 +707,11 @@ FROM edges
         "pagerank": pagerank.pagerank_oracle_sql(_EDGES_CTE, n_iterations=10),
         "connected_components": components.components_oracle_sql(_EDGES_CTE),
         "label_propagation": labelprop.label_propagation_oracle_sql(_EDGES_CTE, n_iterations=5),
-        # core_numbers: h-index fixpoint is not reasonably SQL-expressible ->
-        # rows-only check; exactness is covered by tests/test_iterative.py.
+        # core_numbers: the h-index fixpoint is idempotent, so an unrolled
+        # SQL iteration with margin (24 rounds; the sf0.01 graph converges
+        # in 19) reproduces it exactly — a graph needing more rounds would
+        # hash-mismatch, which is the visible failure we want.
+        "core_numbers": kcore.core_numbers_oracle_sql(_EDGES_CTE, n_rounds=24),
         "orientation_balance": _EDGES_DEG_CTE
         + """
 , od AS (SELECT src, COUNT(*)::DOUBLE AS out_degree FROM oriented GROUP BY src)

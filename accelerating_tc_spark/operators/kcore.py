@@ -66,6 +66,52 @@ def core_numbers(
     return run.state
 
 
+def core_numbers_oracle_sql(edges_cte: str, n_rounds: int = 24) -> str:
+    """Unrolled ANSI-SQL h-index iteration for the DuckDB oracle.
+
+    The h-index fixpoint is IDEMPOTENT: once est stabilizes, further
+    rounds are no-ops — so unrolling more rounds than the graph needs is
+    safe, and a graph needing MORE rounds than unrolled would surface as
+    a hash mismatch (the driver-visible failure we want). `edges_cte`
+    must define edges(src, dst) canonical. Output: (vertex, core).
+
+    Every hx level is AS MATERIALIZED: each round references the previous
+    level twice, and DuckDB re-expands non-materialized CTEs per
+    reference — 24 doubly-referenced levels would otherwise inline
+    2^24 copies of the base scan.
+    """
+    parts = [
+        edges_cte,
+        """
+, sym AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+)
+, hx0 AS MATERIALIZED (SELECT src AS vertex, COUNT(*)::BIGINT AS core FROM sym GROUP BY src)
+""",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+, h{r} AS (
+  SELECT vertex, COUNT(*) FILTER (WHERE nbr_core >= rn)::BIGINT AS h
+  FROM (
+    SELECT e.dst AS vertex, p.core AS nbr_core,
+           ROW_NUMBER() OVER (PARTITION BY e.dst ORDER BY p.core DESC) AS rn
+    FROM sym e JOIN hx{r - 1} p ON p.vertex = e.src
+  )
+  GROUP BY vertex
+)
+, hx{r} AS MATERIALIZED (
+  SELECT p.vertex, LEAST(p.core, COALESCE(h.h, 0)) AS core
+  FROM hx{r - 1} p LEFT JOIN h{r} h ON h.vertex = p.vertex
+)"""
+        )
+    parts.append(f"\nSELECT vertex, core FROM hx{n_rounds} ORDER BY vertex")
+    return "".join(parts)
+
+
 def orient_by_core(canonical: DataFrame, cores: DataFrame) -> DataFrame:
     """Orient each edge by (core, degree, id) lexicographic — the peel
     orientation: low-priority endpoint -> high-priority endpoint."""
