@@ -755,8 +755,11 @@ JOIN adj a ON a.v = e.src
 JOIN adj b ON b.v = e.dst
 ORDER BY e.src, e.dst
 """,
-        # ktruss4: fixpoint edge peeling is not reasonably SQL-expressible ->
-        # rows-only; python-oracle parity in tests/test_truss.py.
+        # ktruss4: unrolled peel with margin (24 rounds; sf0.01 converges in
+        # 19) — the fixpoint is idempotent, so the oracle hash-checks the
+        # exact surviving-edge count; python-oracle parity additionally in
+        # tests/test_truss.py.
+        "ktruss4": truss.ktruss_oracle_sql(_EDGES_SPARSE_CTE, k=4, n_rounds=24),
         "subgraph_match": subgraph.subgraph_match_oracle_sql(
             _EDGES_SPARSE_CTE,
             """

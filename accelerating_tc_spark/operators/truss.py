@@ -142,6 +142,41 @@ def ktruss(
     return state.select("src", "dst")
 
 
+def ktruss_oracle_sql(edges_cte: str, k: int, n_rounds: int = 24) -> str:
+    """Unrolled ANSI-SQL k-truss peel for the DuckDB oracle: each level
+    rebuilds survivor adjacency lists and drops edges with support < k-2.
+    The peel fixpoint is idempotent, so unrolling with margin is safe (a
+    deeper-than-unrolled graph would hash-mismatch — the visible failure).
+    Levels are AS MATERIALIZED: each references its predecessor three
+    times, and DuckDB re-expands plain CTEs per reference. Output: one row
+    (n_truss_edges)."""
+    parts = [
+        edges_cte,
+        ", e0 AS MATERIALIZED (SELECT src, dst FROM edges)",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""
+, adj{r} AS MATERIALIZED (
+  SELECT v, list(w ORDER BY w) AS nbrs FROM (
+    SELECT src AS v, dst AS w FROM e{r - 1}
+    UNION ALL SELECT dst AS v, src AS w FROM e{r - 1}
+  ) GROUP BY v
+)
+, e{r} AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM e{r - 1} e
+  JOIN adj{r} a ON a.v = e.src
+  JOIN adj{r} b ON b.v = e.dst
+  WHERE len(list_intersect(a.nbrs, b.nbrs)) >= {k - 2}
+)"""
+        )
+    parts.append(
+        f"\nSELECT COUNT(*)::BIGINT AS n_truss_edges FROM e{n_rounds}"
+    )
+    return "".join(parts)
+
+
 def truss_numbers(
     spark: SparkSession, canonical: DataFrame, max_k: int = 64
 ) -> DataFrame:
