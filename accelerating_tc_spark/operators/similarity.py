@@ -227,11 +227,22 @@ def ivf_train_centroids(
     floats — driver-small by construction (C ~ sqrt(n) at scale), so the
     literal-broadcast pattern holds at any corpus size.
     """
-    unit = with_unit_vectors(embeddings, vec_col).select(id_col, "unit")
+    # Cache the normalized relation once: every iteration's job reads it
+    # instead of re-normalizing from source (the r3 plan-audit finding).
+    unit = with_unit_vectors(embeddings, vec_col).select(id_col, "unit").cache()
     cents = [
         list(r["unit"])
         for r in unit.orderBy(id_col).limit(n_centroids).collect()
     ]
+    # A corpus smaller than n_centroids yields fewer init vectors; clamp so
+    # the empty-cluster carry-over below never indexes past the end. The
+    # returned list IS the carried artifact (callers size everything off
+    # len(centroids)), so the clamp propagates automatically.
+    n_centroids = min(n_centroids, len(cents))
+    if n_centroids == 0:
+        unit.unpersist()
+        raise ValueError("ivf_train_centroids: empty corpus")
+    cents = cents[:n_centroids]
     for _ in range(n_iters):
         assigned = unit.select(
             "unit", F.element_at(_nearest_centroids(cents, 1), 1).alias("cid")
@@ -256,6 +267,7 @@ def ivf_train_centroids(
             else:
                 new.append(cents[c])
         cents = new
+    unit.unpersist()
     return cents
 
 

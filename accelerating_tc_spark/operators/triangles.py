@@ -449,7 +449,8 @@ def triangle_count_estimate(
 ) -> DataFrame:
     """DOULION-style sampled estimate (Tsourakakis et al., KDD'09 — public
     result): keep each edge with probability p via a deterministic
-    xxhash64 coin, exact-count the sparsified graph, scale by p^-3.
+    xxhash64 coin, exact-count the sparsified graph, scale by the REALIZED
+    keep probability^-3 (the coin quantizes p to floor(p·2^20)/2^20).
     Unbiased; relative error concentrates like 1/sqrt(p^3·T), so p is
     chosen by the accuracy target, independent of graph size. The 100 TB
     use: a p=0.01 pass costs ~p^2 of the blocked count's wedge work and
@@ -457,12 +458,20 @@ def triangle_count_estimate(
     for it. Returns (triangles_est, sampled_edges, p)."""
     canonical = prep.canonicalize_edges(edges_raw)
     m = 1 << 20
+    # The coin is integer-quantized: the REALIZED keep probability is
+    # floor(p*m)/m, not p — rescale by the realized value or the estimate
+    # carries a small systematic bias (and p < 1/m would silently keep
+    # nothing: reject it).
+    cut = int(p * m)
+    if cut < 1:
+        raise ValueError(f"p={p} below coin resolution 1/{m}: keeps zero edges")
+    p_real = cut / m
     kept = canonical.where(
-        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(m)) < int(p * m)
+        F.pmod(F.xxhash64("src", "dst", F.lit(seed)), F.lit(m)) < cut
     )
     row = triangle_count_blocked(prep.orient_by_degree(kept)).first()
     n_kept = kept.count()
-    est = int(round(int(row["triangles"]) / (p**3)))
+    est = int(round(int(row["triangles"]) / (p_real**3)))
     spark = edges_raw.sparkSession
     return spark.createDataFrame(
         [(est, n_kept, float(p))],

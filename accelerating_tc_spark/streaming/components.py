@@ -20,9 +20,13 @@ maintainer's posture (streaming/edges.py).
 
 Idempotency falls out of monotonicity: re-delivered edges try to merge
 already-merged components and change nothing, so no dedup store is
-needed. Crash safety: the label table is the ONLY state and is replaced
-by atomic directory rename; a crash mid-batch leaves the previous table
-intact and the replayed batch recomputes the identical merge.
+needed. Crash safety: the label table is the ONLY state and is committed
+via a version pointer — each batch writes a fresh `labels.v<N>` directory
+and then atomically `os.replace`s the single `CURRENT` pointer file (the
+one commit point, same posture as TriangleMaintainer's state.json). A
+crash at ANY instant leaves CURRENT referencing a complete older version;
+stale version directories are garbage-collected on the next startup and
+after each commit, and the replayed batch recomputes the identical merge.
 """
 
 from __future__ import annotations
@@ -45,14 +49,34 @@ class ComponentMaintainer:
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
-        self.labels_path = os.path.join(state_dir, "labels")
+        self.pointer_path = os.path.join(state_dir, "CURRENT")
         os.makedirs(state_dir, exist_ok=True)
+        self._gc_stale_versions()
+
+    def _current_version(self) -> int | None:
+        """Committed version number, or None before the first commit."""
+        if os.path.exists(self.pointer_path):
+            with open(self.pointer_path) as fh:
+                return int(fh.read().strip())
+        return None
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.state_dir, f"labels.v{v}")
+
+    def _gc_stale_versions(self) -> None:
+        """Drop label directories not referenced by CURRENT — leftovers of
+        a crash between the parquet write and the pointer flip (or between
+        the flip and the old-version cleanup)."""
+        cur = self._current_version()
+        keep = os.path.basename(self._version_dir(cur)) if cur is not None else None
+        for name in os.listdir(self.state_dir):
+            if name.startswith("labels.v") and name != keep:
+                shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
 
     def labels(self) -> DataFrame:
-        if os.path.isdir(self.labels_path) and any(
-            n.endswith(".parquet") for n in os.listdir(self.labels_path)
-        ):
-            return self.spark.read.parquet(self.labels_path)
+        cur = self._current_version()
+        if cur is not None:
+            return self.spark.read.parquet(self._version_dir(cur))
         return self.spark.createDataFrame([], LABEL_SCHEMA)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -103,16 +127,21 @@ class ComponentMaintainer:
                 "vertex", F.coalesce("new_label", "component").alias("component")
             )
 
-        tmp = self.labels_path + ".tmp"
-        full.write.mode("overwrite").parquet(tmp)
-        out_old = self.labels_path + ".old"
-        if os.path.isdir(out_old):
-            shutil.rmtree(out_old)
-        if os.path.isdir(self.labels_path):
-            os.rename(self.labels_path, out_old)
-        os.rename(tmp, self.labels_path)
-        if os.path.isdir(out_old):
-            shutil.rmtree(out_old)
+        # Commit: write the new version dir, flip the pointer atomically
+        # (os.replace of the one-line CURRENT file is the commit point),
+        # then GC the superseded version. A crash anywhere leaves CURRENT
+        # on a complete table.
+        cur = self._current_version()
+        nxt = 0 if cur is None else cur + 1
+        full.write.mode("overwrite").parquet(self._version_dir(nxt))
+        ptr_tmp = self.pointer_path + ".tmp"
+        with open(ptr_tmp, "w") as fh:
+            fh.write(str(nxt))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(ptr_tmp, self.pointer_path)
+        if cur is not None:
+            shutil.rmtree(self._version_dir(cur), ignore_errors=True)
 
 
 def run_incremental_components(

@@ -11,14 +11,21 @@ separated by <= gap_seconds. Two implementations with identical semantics:
   driver's events table).
 - `sessionize_stream`: Structured Streaming `applyInPandasWithState` —
   the custom-stateful-operator shape the mandate names. State per user is
-  the open session (start, last, n, sum); closed sessions are emitted as
-  soon as a later event proves the gap, and the open session is emitted
-  when the event-time timeout (watermark passing last+gap) fires. Bounded
-  state: one open session per active user.
+  the BUFFER of not-yet-finalized events (ts + value arrays); a session is
+  emitted only once the watermark has passed its end + gap, at which point
+  no admissible event (all future rows have ts >= watermark, late rows
+  below it are dropped by Spark) can extend it, land inside it, or sort
+  before it. This makes emission correct for ANY arrival order the
+  watermark admits — including events that arrive out of order across
+  micro-batches — not just in-order replay. State is bounded by the
+  watermark horizon: finalized sessions leave the buffer every batch, so a
+  user retains only events within roughly (watermark_delay + gap) of the
+  stream head.
 
 Parity: tests replay a deterministic event log through the stream and
 assert the emitted sessions equal `sessionize_batch` of the same log
-(all sessions closed by a final far-future event).
+(all sessions closed by a final far-future event); an out-of-order replay
+(late cross-batch events within the watermark) asserts the same.
 """
 
 from __future__ import annotations
@@ -33,7 +40,7 @@ SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, "
     "n_events long, sum_value double"
 )
-_STATE_SCHEMA = "start long, last long, n long, sv double"
+_STATE_SCHEMA = "ets array<long>, evs array<double>"
 
 
 def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
@@ -102,9 +109,13 @@ def sessionize_stream(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming sessionization with applyInPandasWithState (append mode,
-    event-time timeout). Emits each session exactly once: either when a
-    later in-order event proves the gap, or when the watermark passes the
-    open session's end + gap."""
+    event-time timeout). Each batch merges new events into the per-user
+    buffer, gap-splits the sorted buffer, and emits exactly the prefix of
+    sessions whose end + gap the watermark has already passed — those are
+    immutable under any further admissible arrival. The remaining events
+    stay buffered; an event-time timeout at (max_ts + gap) guarantees the
+    tail session is finalized once the watermark passes it even if the
+    user never sends another event."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
@@ -115,33 +126,51 @@ def sessionize_stream(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         user_id = int(key[0])
-        if state.hasTimedOut:
-            start, last, n, sv = state.get
-            state.remove()
-            yield pd.DataFrame([_emit_row(user_id, start, last, n, sv)])
-            return
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
-        ts = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
-        vals = rows["value"].to_numpy()
-        out: list[dict] = []
+        ets: list[int] = []
+        evs: list[float] = []
         if state.exists:
-            start, last, n, sv = state.get
-        else:
-            start, last, n, sv = 0, 0, 0, 0.0
-        for t, v in zip(ts, vals):
-            t = int(t)
-            if n and t - last > gap_seconds:
-                out.append(_emit_row(user_id, start, last, n, sv))
-                start, last, n, sv = t, t, 1, float(v)
+            old_ts, old_vs = state.get
+            ets.extend(int(t) for t in old_ts)
+            evs.extend(float(v) for v in old_vs)
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdfs), ignore_index=True)
+            if len(rows):
+                ets.extend(
+                    int(t) for t in rows["ts"].astype("int64") // 1_000_000_000
+                )
+                evs.extend(float(v) for v in rows["value"])
+        if not ets:
+            if state.exists:
+                state.remove()
+            return
+        order = sorted(range(len(ets)), key=ets.__getitem__)
+        ts = [ets[i] for i in order]
+        vals = [evs[i] for i in order]
+        # gap-split the full buffer, then finalize the prefix of sessions
+        # already sealed by the watermark (compare in ms to match Spark's
+        # watermark precision exactly).
+        wm_ms = state.getCurrentWatermarkMs()
+        bounds = [0]
+        bounds += [i for i in range(1, len(ts)) if ts[i] - ts[i - 1] > gap_seconds]
+        bounds.append(len(ts))
+        out: list[dict] = []
+        keep_from = 0
+        for a, b in zip(bounds, bounds[1:]):
+            last = ts[b - 1]
+            if (last + gap_seconds) * 1000 < wm_ms:
+                out.append(
+                    _emit_row(user_id, ts[a], last, b - a, sum(vals[a:b]))
+                )
+                keep_from = b
             else:
-                if n == 0:
-                    start = t
-                last = max(last, t)
-                n += 1
-                sv += float(v)
-        state.update((start, last, n, sv))
-        # event-time timeout: fire once the watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_seconds) * 1000)
+                break
+        ts, vals = ts[keep_from:], vals[keep_from:]
+        if ts:
+            state.update((ts, vals))
+            # wake when the watermark passes the tail session's close
+            state.setTimeoutTimestamp((ts[-1] + gap_seconds) * 1000 + 1)
+        else:
+            state.remove()
         if out:
             yield pd.DataFrame(out)
 

@@ -159,3 +159,18 @@ def test_suggest_lsh_params_recall_math(spark):
         ).collect()
     }
     assert (0, N) in pairs
+
+
+def test_ivf_small_corpus_clamps_centroids(spark):
+    """Corpus smaller than n_centroids must clamp (not IndexError on the
+    empty-cluster carry-over) and still answer queries; an empty corpus
+    raises a clear error."""
+    emb = make_embeddings(spark).limit(5)
+    cents = similarity.ivf_train_centroids(emb, dim=DIM, n_centroids=16, n_iters=2)
+    assert 0 < len(cents) <= 5
+    out = similarity.ann_topk_ivf(
+        emb, emb.limit(2), dim=DIM, k=3, centroids=cents, n_probe=8
+    )
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.ivf_train_centroids(emb.limit(0), dim=DIM, n_centroids=4)

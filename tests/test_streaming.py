@@ -222,6 +222,86 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert len(expected) == 3  # u1 x2 sessions, u2 x1
 
 
+def test_sessionize_stream_out_of_order(spark, tmp_path):
+    """Out-of-order events ACROSS micro-batches (admitted by the watermark)
+    must still yield batch-identical sessions: a late event earlier than
+    the open session's start must lower session_start, and a late event
+    bridging two runs must merge them — the buffered-state design emits a
+    session only once the watermark seals it."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from accelerating_tc_spark.streaming import sessions as S
+
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir, exist_ok=True)
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+
+    def write_file(rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "user_id", "value"])
+        df = spark.createDataFrame(
+            pdf, schema="ts timestamp, event_type string, user_id long, value double"
+        )
+        df.coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)
+
+    real = [
+        (t0 + pd.Timedelta(seconds=100), "c", 1, 1.0),
+        (t0 + pd.Timedelta(seconds=120), "c", 1, 2.0),
+        # late, EARLIER than the open session's start (old code kept start=100)
+        (t0 + pd.Timedelta(seconds=40), "c", 1, 4.0),
+        # two runs separated by > gap only until the bridge arrives
+        (t0 + pd.Timedelta(seconds=5000), "c", 2, 1.0),
+        (t0 + pd.Timedelta(seconds=8000), "c", 2, 2.0),
+        # late bridge event: merges u2's two runs into ONE session
+        (t0 + pd.Timedelta(seconds=6800), "c", 2, 8.0),
+    ]
+    write_file(real[:2])
+    write_file([real[2], real[3]])
+    write_file([real[4]])
+    write_file([real[5]])
+    # sentinel batches advance the watermark so everything finalizes
+    write_file([(t0 + pd.Timedelta(days=10), "s", 999, 0.0)])
+    write_file([(t0 + pd.Timedelta(days=20), "s", 999, 0.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    # watermark must admit the late events: 3 hours covers the 2200s/2000s lags
+    out = S.sessionize_stream(stream, gap_seconds=1800, watermark="3 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sess_ooo").collect()
+        if r["user_id"] != 999
+    }
+    batch_df = spark.createDataFrame(
+        pd.DataFrame(real, columns=["ts", "event_type", "user_id", "value"]),
+        schema="ts timestamp, event_type string, user_id long, value double",
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in S.sessionize_batch(batch_df, gap_seconds=1800).collect()
+    }
+    assert got == expected
+    # u1: ONE session starting at the late t0+40; u2: ONE merged session
+    assert len(expected) == 2
+    starts = {r[0]: r[1] for r in expected}
+    assert starts[1] == (t0 + pd.Timedelta(seconds=40)).to_pydatetime()
+
+
 def test_incremental_components_matches_batch(spark, tmp_path):
     """Incremental CC: labels after each replayed prefix must equal batch
     CC of everything delivered so far — including cross-batch merges of
@@ -261,3 +341,55 @@ def test_incremental_components_matches_batch(spark, tmp_path):
     # final shape: {1,2,3,4,10,11,20,21} one component
     labels = {r["component"] for r in maintainer.labels().collect()}
     assert labels == {1}
+
+
+def test_component_store_crash_between_write_and_pointer_flip(spark, tmp_path):
+    """A crash AFTER the new labels.vN parquet is written but BEFORE the
+    CURRENT pointer flips must leave the previous committed table intact:
+    the orphan version dir is GC'd on restart, labels() serves the old
+    version, and the replayed batch recommits the identical merge."""
+    import os
+
+    from accelerating_tc_spark.streaming import components as SC
+
+    state_dir = str(tmp_path / "state")
+    m = SC.ComponentMaintainer(spark, state_dir)
+    m.process_batch(synthetic.edges_df(spark, [(1, 2), (3, 4)]), 0)
+    committed = {r["vertex"]: r["component"] for r in m.labels().collect()}
+    assert committed == {1: 1, 2: 1, 3: 3, 4: 3}
+
+    # simulate the crash: write an orphan next-version dir, don't flip
+    orphan = m._version_dir(m._current_version() + 1)
+    synthetic.edges_df(spark, [(7, 7)]).write.mode("overwrite").parquet(orphan)
+    assert os.path.isdir(orphan)
+
+    m2 = SC.ComponentMaintainer(spark, state_dir)
+    assert not os.path.isdir(orphan)  # GC'd on startup
+    assert {r["vertex"]: r["component"] for r in m2.labels().collect()} == committed
+
+    # replayed batch (same edges) is a no-op merge; a real batch commits
+    m2.process_batch(synthetic.edges_df(spark, [(1, 2), (3, 4)]), 0)
+    m2.process_batch(synthetic.edges_df(spark, [(2, 3)]), 1)
+    assert {r["component"] for r in m2.labels().collect()} == {1}
+
+
+def test_component_store_crash_after_flip_before_gc(spark, tmp_path):
+    """A crash AFTER the pointer flip but BEFORE the superseded version is
+    removed must serve the NEW table and clean the leftover on restart."""
+    import os
+
+    from accelerating_tc_spark.streaming import components as SC
+
+    state_dir = str(tmp_path / "state")
+    m = SC.ComponentMaintainer(spark, state_dir)
+    m.process_batch(synthetic.edges_df(spark, [(1, 2)]), 0)
+    m.process_batch(synthetic.edges_df(spark, [(2, 3)]), 1)
+    # simulate the leftover: recreate a stale older version dir
+    stale = m._version_dir(m._current_version() - 1)
+    synthetic.edges_df(spark, [(9, 9)]).write.mode("overwrite").parquet(stale)
+
+    m2 = SC.ComponentMaintainer(spark, state_dir)
+    assert not os.path.isdir(stale)
+    assert {r["vertex"]: r["component"] for r in m2.labels().collect()} == {
+        1: 1, 2: 1, 3: 1
+    }
