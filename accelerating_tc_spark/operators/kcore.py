@@ -6,8 +6,21 @@ a peeling priority. Sequential bucket peeling (Matula-Beck) doesn't map to
 DataFrames, so core numbers are computed with the h-index fixpoint
 (Lü et al., "The H-index of a network node", 2016 — public result): start
 with est(v) = degree(v); repeat est(v) <- h-index of neighbors' estimates;
-the fixpoint is exactly the core number. Each round is one join + one
-window + one agg; the superstep spine provides checkpoint/resume.
+the fixpoint is exactly the core number. Each round is joins + HASH
+aggregates only — the h-index is computed from a per-vertex histogram of
+capped neighbor estimates folded by a per-row `F.aggregate`, never a
+per-vertex sort window (the reference's peel loop is bucket-based, not
+sort-based, for the same reason — kcore_direction.cpp:91-146); the
+superstep spine provides checkpoint/resume.
+
+Round shape: tag each directed edge of the symmetrized graph with both
+endpoints' estimates (two hash joins), cap the sender's estimate at the
+receiver's (h <= est(v) and the h-index is invariant to capping values at
+any bound >= h, so this loses nothing while bounding the histogram),
+histogram (vertex, capped) with one hash agg, collect the per-vertex
+histogram (<= min(degree, est) entries) with a second, and fold it
+descending: h = max_i min(value_i, cum_count_i). All shuffles are hash
+exchanges; nothing sorts |E| rows.
 
 Orientation by (core, degree, id) lexicographic reproduces the reference's
 peel-orientation semantics (priority level, runtime degree, id tie-break —
@@ -22,20 +35,51 @@ from pyspark.sql import functions as F
 from . import prep, supersteps
 
 
+def _hindex_from_histogram(hist_col: str = "hist") -> "F.Column":
+    """h-index of a multiset given its histogram array<struct<c,cnt>> —
+    one per-row fold, no shuffle: sort entries by value descending, then
+    h = max over prefixes of min(value, cumulative count)."""
+    pairs = F.reverse(F.array_sort(F.col(hist_col)))
+    folded = F.aggregate(
+        pairs,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("best")
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["cnt"]).alias("cum"),
+            F.greatest(
+                acc["best"], F.least(x["c"], acc["cum"] + x["cnt"])
+            ).alias("best"),
+        ),
+    )
+    return folded["best"]
+
+
 def core_numbers(
     spark: SparkSession,
     canonical: DataFrame,
-    max_iterations: int = 100,
+    max_iterations: int = 500,
     checkpoint_dir: str | None = None,
+    impl: str = "aggregate",
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
-    """(vertex, core) — exact core number per vertex at the h-index fixpoint."""
+    """(vertex, core) — exact core number per vertex at the h-index fixpoint.
+
+    impl="aggregate" (default): hash-aggregate rounds (module docstring).
+    impl="window": the superseded per-round row_number sort window, kept
+    only as the same-session A/B baseline for the bench.
+    fixed_rounds: run exactly N materialized rounds with no convergence
+    check (bench mode — per-round cost measurement; NOT a fixpoint).
+    max_iterations defaults high (500): rounds are flat-cost (superstep
+    hard cuts bound the lineage chain) and deep peel chains legitimately
+    need hundreds of rounds — one round per remaining peel level."""
     n_part = spark.sparkContext.defaultParallelism
     sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
     init = prep.degrees(canonical).select("vertex", F.col("degree").alias("core"))
 
     w = Window.partitionBy("vertex").orderBy(F.desc("nbr_core"))
 
-    def step(state: DataFrame, i: int) -> DataFrame:
+    def step_window(state: DataFrame, i: int) -> DataFrame:
         nbr = sym.join(state, sym["src"] == state["vertex"]).select(
             F.col("dst").alias("vertex"), F.col("core").alias("nbr_core")
         )
@@ -49,9 +93,45 @@ def core_numbers(
             "vertex", F.least("core", F.coalesce("new_core", F.lit(0))).alias("core")
         )
 
+    def step_aggregate(state: DataFrame, i: int) -> DataFrame:
+        st_src = state.select(F.col("vertex").alias("src"), F.col("core").alias("src_core"))
+        st_dst = state.select(F.col("vertex").alias("dst"), F.col("core").alias("dst_core"))
+        capped = (
+            sym.join(st_src, "src")
+            .join(st_dst, "dst")
+            .select(
+                F.col("dst").alias("vertex"),
+                F.least("src_core", "dst_core").alias("c"),
+            )
+        )
+        hist = capped.groupBy("vertex", "c").agg(F.count(F.lit(1)).alias("cnt"))
+        hidx = (
+            hist.groupBy("vertex")
+            .agg(F.collect_list(F.struct("c", "cnt")).alias("hist"))
+            .select("vertex", _hindex_from_histogram().alias("new_core"))
+        )
+        return state.join(hidx, "vertex", "left").select(
+            "vertex", F.least("core", F.coalesce("new_core", F.lit(0))).alias("core")
+        )
+
+    step = step_aggregate if impl == "aggregate" else step_window
+
     def delta_fn(old: DataFrame, new: DataFrame) -> float:
         o = old.withColumnRenamed("core", "old_core")
         return float(new.join(o, "vertex").where(F.col("core") != F.col("old_core")).count())
+
+    if fixed_rounds is not None:
+        run = supersteps.iterate(
+            spark,
+            init,
+            step,
+            max_iterations=fixed_rounds,
+            delta_fn=None,  # no convergence metering: pure round-cost mode
+            checkpoint_every=1,  # materialize every round so walls are real
+            checkpoint_dir=checkpoint_dir,
+            on_nonconverged="ignore",
+        )
+        return run.state
 
     run = supersteps.iterate(
         spark,

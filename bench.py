@@ -116,6 +116,8 @@ def main() -> None:
         return run_dedup()
     if "--truss" in sys.argv:
         return run_truss()
+    if "--kcore" in sys.argv:
+        return run_kcore_ab()
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     t0 = time.time()
@@ -474,6 +476,64 @@ def run_truss() -> None:
                     "n_truss_levels": n_levels,
                 },
                 "parity": dec_edges == naive_edges,
+            }
+        )
+    )
+
+
+def run_kcore_ab() -> None:
+    """Same-session A/B: hash-aggregate h-index round vs the superseded
+    per-round row_number sort window, same graph, results asserted equal.
+    Interleaved B/A/B/A after a shared warm-up so JVM/codegen warm-up and
+    slow VM drift both cancel; min per arm reported."""
+    from accelerating_tc_spark.operators import kcore, prep
+    from accelerating_tc_spark.session import get_spark
+    from accelerating_tc_spark.sources import synthetic
+
+    spark = get_spark("bench_kcore", cores=CPUS, shuffle_partitions=CPUS)
+    v = int(os.environ.get("SPARK_GRAFT_KCORE_V", "50000"))
+    e = int(os.environ.get("SPARK_GRAFT_KCORE_E", "1000000"))
+    rounds = int(os.environ.get("SPARK_GRAFT_KCORE_ROUNDS", "12"))
+    raw = synthetic.zipf_edges_distributed(spark, v, e, s=0.5)
+    canonical = prep.canonicalize_edges(raw).cache()
+    canonical.count()
+
+    # fixed-round mode: both impls compute bit-identical per-round states
+    # (capping neighbor estimates at the receiver's estimate is h-invariant),
+    # so N materialized rounds isolate per-round cost and stay comparable
+    def run(impl: str):
+        t0 = time.time()
+        out = {
+            r["vertex"]: r["core"]
+            for r in kcore.core_numbers(
+                spark, canonical, impl=impl, fixed_rounds=rounds
+            ).collect()
+        }
+        return time.time() - t0, out
+
+    run("aggregate")  # shared warm-up
+    walls: dict[str, list[float]] = {"window": [], "aggregate": []}
+    ref = None
+    for impl in ("window", "aggregate", "window", "aggregate"):
+        dt, out = run(impl)
+        walls[impl].append(round(dt, 3))
+        if ref is None:
+            ref = out
+        assert out == ref, "impl results diverged"
+    spark.stop()
+    a, w = min(walls["aggregate"]), min(walls["window"])
+    print(
+        json.dumps(
+            {
+                "metric": "kcore_round_ab",
+                "value": round(w / a, 3),
+                "unit": "speedup_window_over_aggregate",
+                "queries": {"aggregate_s": a, "window_s": w},
+                "sf": _sf_label(SF_DIR),
+                "detail": {"walls": walls, "vertices": v, "edges": e,
+                           "rounds": rounds, "per_round_aggregate_s": round(a / rounds, 3),
+                           "per_round_window_s": round(w / rounds, 3),
+                           "parity": True},
             }
         )
     )
