@@ -77,6 +77,53 @@ def latest_checkpoint(checkpoint_dir: str) -> int | None:
     return max(done) if done else None
 
 
+class LineageCutter:
+    """Bounded-chain lineage cuts for hand-rolled loops (the same cliff
+    `iterate(hard_cut_every=...)` guards against: chains of ~15+
+    consecutive localCheckpoints degrade geometrically on Spark 4.1).
+
+    Up to `every - 1` consecutive cuts use localCheckpoint; the next cut is
+    a parquet round-trip through a scratch slot. Slots get UNIQUE names and
+    live until `close()` — callers may hold lazy references to any cut
+    state (e.g. the truss cascade's per-round dropped frames) without them
+    being invalidated by slot reuse. `close(final_df)` re-anchors the final
+    result in block storage before removing the scratch dir, so the
+    returned DataFrame outlives the cleanup."""
+
+    def __init__(self, spark: SparkSession, every: int = 8, prefix: str = "lineage-cut-"):
+        self.spark = spark
+        self.every = every
+        self.prefix = prefix
+        self.chain = 0
+        self.n_cuts = 0
+        self.scratch: str | None = None
+
+    def cut(self, df: DataFrame) -> DataFrame:
+        import tempfile
+
+        self.n_cuts += 1
+        if self.every and self.chain + 1 >= self.every:
+            if self.scratch is None:
+                self.scratch = tempfile.mkdtemp(prefix=self.prefix)
+            slot = os.path.join(self.scratch, f"slot{self.n_cuts:05d}")
+            df.write.mode("overwrite").parquet(slot)
+            self.chain = 0
+            return self.spark.read.parquet(slot)
+        self.chain += 1
+        return df.localCheckpoint(eager=True)
+
+    def close(self, final_df: DataFrame | None = None) -> DataFrame | None:
+        out = final_df
+        if self.scratch is not None:
+            if final_df is not None:
+                # the final result may read scratch slots: materialize it
+                # into block storage (a fresh 1-link chain) before cleanup
+                out = final_df.localCheckpoint(eager=True)
+            shutil.rmtree(self.scratch, ignore_errors=True)
+            self.scratch = None
+        return out
+
+
 def iterate(
     spark: SparkSession,
     initial: DataFrame,

@@ -107,6 +107,13 @@ _PARTIAL_SCHEMA = StructType(
 # every executor (int64 each; 2^22 ≈ 32 MiB). Hubs beyond the cap (rarest
 # case: thousands of mega-hubs) fall back to the cogroup path.
 _MAX_HUB_ENTRIES = 1 << 22
+# Driver-collect row cap for hub candidates, enforced IN the query via
+# orderBy(desc(degree)).limit() (a distributed TakeOrdered — no full sort,
+# no unbounded collect): a hostile/low hub_threshold selects the whole
+# vertex set, and capping only after .collect() would OOM the driver
+# before the entry budget ever ran. 4096 rows ≫ any real mega-hub count;
+# each row's adjacency is orientation-bounded (O(sqrt m)).
+_MAX_HUB_ROWS = 4096
 
 
 def _cogroup_partials(edges_b: DataFrame, adj_rep: DataFrame) -> DataFrame:
@@ -217,14 +224,17 @@ def _blocked_partials(
         return partials, [], n_blocks
 
     adj = prep.adjacency(oriented).cache()
+    # worst hubs first (they carry the skew), row count bounded by
+    # construction BEFORE anything reaches the driver
     hub_rows = (
         deg.where(F.col("degree") >= F.lit(hub_threshold))
+        .orderBy(F.desc("degree"), F.asc("vertex"))
+        .limit(_MAX_HUB_ROWS)
         .withColumnRenamed("vertex", "src")
         .join(adj, "src", "left")
         .select("src", "degree", "nbrs")
         .collect()
     )
-    # cap the broadcast: keep the worst hubs first (they carry the skew)
     hub_rows.sort(key=lambda r: (-r["degree"], r["src"]))
     hub_sets: dict[int, np.ndarray] = {}
     budget = _MAX_HUB_ENTRIES

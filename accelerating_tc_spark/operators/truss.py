@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import prep
+from . import prep, supersteps
 
 def _empty_arr() -> F.Column:
     return F.array().cast("array<long>")
@@ -101,12 +101,17 @@ def _support_decrements(dropped: DataFrame, survivors: DataFrame) -> DataFrame:
 
 
 def _peel_level(
-    state: DataFrame, k: int, max_rounds: int
+    state: DataFrame,
+    k: int,
+    max_rounds: int,
+    cutter: supersteps.LineageCutter,
 ) -> tuple[DataFrame, list[DataFrame]]:
     """Peel (src, dst, support) state to the k-truss fixpoint with
     decremental support updates. Returns (fixpoint state, per-round dropped
-    edge DataFrames). Every returned frame is rooted in a localCheckpoint,
-    so callers may union/materialize them later."""
+    edge DataFrames). Lineage cuts go through `cutter` so deep peels never
+    build the long localCheckpoint chains that degrade geometrically
+    (supersteps.LineageCutter); dropped frames stay lazy over cut states,
+    which remain valid until the caller closes the cutter."""
     dropped_frames: list[DataFrame] = []
     for _ in range(max_rounds):
         dropped = state.where(F.col("support") < k - 2).select("src", "dst")
@@ -115,14 +120,12 @@ def _peel_level(
         dropped_frames.append(dropped)
         survivors = state.where(F.col("support") >= k - 2)
         dec = _support_decrements(dropped, survivors.select("src", "dst"))
-        state = (
-            survivors.join(dec, ["src", "dst"], "left")
-            .select(
+        state = cutter.cut(
+            survivors.join(dec, ["src", "dst"], "left").select(
                 "src",
                 "dst",
                 (F.col("support") - F.coalesce("dec", F.lit(0))).alias("support"),
             )
-            .localCheckpoint(eager=True)
         )
     return state, dropped_frames
 
@@ -137,9 +140,10 @@ def ktruss(
     Support is computed once; rounds pay only dropped-edge-driven joins."""
     if k < 3:
         return canonical
-    state = edge_support(canonical).localCheckpoint(eager=True)
-    state, _dropped = _peel_level(state, k, max_rounds)
-    return state.select("src", "dst")
+    cutter = supersteps.LineageCutter(spark, prefix="ktruss-")
+    state = cutter.cut(edge_support(canonical))
+    state, _dropped = _peel_level(state, k, max_rounds, cutter)
+    return cutter.close(state.select("src", "dst"))
 
 
 def ktruss_oracle_sql(edges_cte: str, k: int, n_rounds: int = 24) -> str:
@@ -178,17 +182,42 @@ def ktruss_oracle_sql(edges_cte: str, k: int, n_rounds: int = 24) -> str:
 
 
 def truss_numbers(
-    spark: SparkSession, canonical: DataFrame, max_k: int = 64
+    spark: SparkSession,
+    canonical: DataFrame,
+    max_k: int = 64,
+    level_jump: bool = True,
 ) -> DataFrame:
     """(src, dst, truss): the largest k for which the edge survives in the
     k-truss (>= 2 for every edge). One support computation feeds the whole
     cascade: the k-level fixpoint's MAINTAINED supports carry into level
-    k+1, so no level ever recomputes support from scratch."""
-    state = edge_support(canonical).localCheckpoint(eager=True)
+    k+1, so no level ever recomputes support from scratch.
+
+    Job economy (the at-depth cost): levels where nothing would drop are
+    SKIPPED entirely — the surviving min support m (one hash agg per
+    processed level, doubling as the emptiness probe) proves every level
+    below m+3 is a no-op, so k jumps straight to the first level that
+    actually peels. Lineage cuts go through a bounded-chain cutter, so a
+    deep cascade pays flat per-round cost instead of the geometric
+    localCheckpoint-chain cliff. Labels are identical to the one-level-at-
+    a-time cascade: an edge dropping at level k has truss k-1, and a jump
+    changes WHICH k processes it, not the k at which it first drops.
+    level_jump=False steps k one at a time (the pre-jump cascade, kept as
+    the same-session A/B baseline for bench --truss)."""
+    cutter = supersteps.LineageCutter(spark, prefix="truss-")
+    state = cutter.cut(edge_support(canonical))
     labeled: list[DataFrame] = []
     k = 3
-    while k <= max_k and state.limit(1).count() > 0:
-        state, dropped_frames = _peel_level(state, k, max_rounds=100000)
+    while k <= max_k:
+        m = state.agg(F.min("support").alias("m")).first()["m"]
+        if m is None:
+            break  # nothing left to peel
+        if level_jump:
+            # first level that drops anything: support m < k-2 <=> k > m+2
+            k = max(k, int(m) + 3)
+            if k > max_k:
+                k = max_k + 1  # leftovers are capped at max_k, as in the
+                break          # stepwise cascade
+        state, dropped_frames = _peel_level(state, k, 100000, cutter)
         for d in dropped_frames:
             labeled.append(d.select("src", "dst", F.lit(k - 1).cast("long").alias("truss")))
         k += 1
@@ -199,4 +228,4 @@ def truss_numbers(
     out = labeled[0]
     for df in labeled[1:]:
         out = out.unionAll(df)
-    return out
+    return cutter.close(out)

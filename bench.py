@@ -447,15 +447,56 @@ def run_truss() -> None:
     t0 = time.time()
     naive_edges = naive_ktruss()
     naive_s = round(time.time() - t0, 3)
-    # full decomposition cascade (deep: ~levels × rounds Spark jobs) is
-    # opt-in — the A/B above is the per-round-cost evidence
-    cascade_s, n_levels = None, None
+    # full decomposition cascade A/B (opt-in): level-jumping cascade vs the
+    # stepwise baseline, same session, results asserted equal, JOB COUNTS
+    # measured via job groups — the at-depth cost is jobs × fixed overhead
+    cascade = {}
     if os.environ.get("SPARK_GRAFT_TRUSS_CASCADE"):
-        t0 = time.time()
-        n_levels = (
-            truss.truss_numbers(spark, canonical).select("truss").distinct().count()
-        )
-        cascade_s = round(time.time() - t0, 3)
+        # Gap fixture: disjoint cliques of distinct sizes -> the truss
+        # spectrum has LEVEL GAPS (a size-c clique peels at level c+1,
+        # nothing in between), the shape where the stepwise cascade burns a
+        # probe per empty level and the min-support jump skips them all.
+        # A smooth Zipf spectrum has a drop at nearly every level, so it
+        # cannot show the jump; real graphs sit between the two.
+        sizes = [
+            int(x)
+            for x in os.environ.get("SPARK_GRAFT_TRUSS_CLIQUES", "6,12,24,48").split(",")
+        ]
+        rows, base = [], 0
+        for c in sizes:
+            rows += [(base + i, base + j) for i in range(c) for j in range(i + 1, c)]
+            base += c
+        gap_edges = prep.canonicalize_edges(
+            spark.createDataFrame(rows, "src long, dst long")
+        ).cache()
+        gap_edges.count()
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+
+        def run_cascade(tag: str, jump: bool):
+            sc.setJobGroup(tag, f"truss cascade {tag}")
+            t0 = time.time()
+            out = sorted(
+                (r["src"], r["dst"], r["truss"])
+                for r in truss.truss_numbers(
+                    spark, gap_edges, level_jump=jump
+                ).collect()
+            )
+            wall = round(time.time() - t0, 3)
+            sc.setJobGroup("", "")
+            return wall, len(tracker.getJobIdsForGroup(tag)), out
+
+        jump_s, jump_jobs, jump_rows = run_cascade("cascade_jump", True)
+        step_s, step_jobs, step_rows = run_cascade("cascade_step", False)
+        assert jump_rows == step_rows, "cascade A/B results diverged"
+        cascade = {
+            "cascade_jump_s": jump_s,
+            "cascade_step_s": step_s,
+            "cascade_jump_jobs": jump_jobs,
+            "cascade_step_jobs": step_jobs,
+            "cascade_clique_sizes": sizes,
+            "n_truss_levels": len({r[2] for r in jump_rows}),
+        }
     spark.stop()
     print(
         json.dumps(
@@ -466,14 +507,14 @@ def run_truss() -> None:
                 "queries": {
                     "decremental_s": dec_s,
                     "full_recompute_s": naive_s,
-                    "truss_numbers_cascade_s": cascade_s,
+                    **{k_: v for k_, v in cascade.items() if k_.endswith("_s")},
                 },
                 "sf": _sf_label(SF_DIR),
                 "detail": {
                     "n_edges": n_edges,
                     "k": k,
                     "truss_edges": dec_edges,
-                    "n_truss_levels": n_levels,
+                    **cascade,
                 },
                 "parity": dec_edges == naive_edges,
             }

@@ -124,3 +124,21 @@ def test_triangle_count_estimate_unbiased_ballpark(spark):
     # determinism: same coin -> same estimate
     again = triangles.triangle_count_estimate(edges, p=0.5, seed=42).collect()[0]
     assert again["triangles_est"] == row["triangles_est"]
+
+
+def test_hub_route_hostile_threshold_bounded_driver(spark, monkeypatch):
+    """hub_threshold=1 makes EVERY vertex a hub candidate on a large graph:
+    the candidate collect must be bounded by construction (row cap inside
+    the query), the selected set must respect both caps, and the count must
+    still be exact — the escape hatch for the hostile case the cap exists
+    for. A tiny _MAX_HUB_ROWS makes the cap's effect observable."""
+    from accelerating_tc_spark.operators import triangles as T
+
+    monkeypatch.setattr(T, "_MAX_HUB_ROWS", 7)
+    pairs = synthetic.powerlaw_edge_pairs(500, 3000, seed=11)
+    expected = synthetic.numpy_triangle_count(pairs)
+    edges = synthetic.edges_df(spark, pairs.tolist())
+    got = _count(
+        T.count_triangles(edges, strategy="blocked", n_blocks=3, hub_threshold=1)
+    )
+    assert got == expected
