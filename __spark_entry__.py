@@ -163,8 +163,9 @@ def _q_peel_orientation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 proper: A-direction threshold peel (multi-round frontier levels) on
     the co-purchase graph; reports the reference's balance metric for the
     peel orientation vs the degree orientation plus the level count.
-    Iterative frontier fixpoint -> rows-only check; exact level parity vs a
-    python oracle is pinned in tests/test_peel.py."""
+    Oracle-checked since r4: the peel unrolls as a uniform wave recurrence
+    (peel.peel_oracle_sql); exact level parity vs a python oracle is
+    additionally pinned in tests/test_peel.py."""
     return peel.peel_vs_degree_balance(spark, _canonical(spark, sf_dir), thre_param=2.0)
 
 
@@ -718,6 +719,13 @@ FROM edges
 SELECT ROUND(SUM(ABS(out_degree - (SELECT AVG(out_degree) FROM od))), 6) AS balance_cost
 FROM od
 """,
+        # peel_orientation_balance: the A-direction threshold peel as a
+        # uniform wave recurrence unrolled with margin (sf0.01 finishes in
+        # 4 waves; 10 unrolled — post-fixpoint waves are no-ops, an
+        # under-unroll hash-mismatches visibly)
+        "peel_orientation_balance": peel.peel_oracle_sql(
+            _EDGES_CTE, thre_param=2.0, n_waves=10
+        ),
         "local_clustering": _EDGES_DEG_CTE
         + """
 , tri AS (

@@ -149,6 +149,106 @@ def orient_by_peel(canonical: DataFrame, priorities: DataFrame) -> DataFrame:
     )
 
 
+def peel_oracle_sql(
+    edges_cte: str, thre_param: float = 2.0, n_waves: int = 10
+) -> str:
+    """Unrolled ANSI-SQL threshold peel for the DuckDB oracle — the
+    same output row as `peel_vs_degree_balance`.
+
+    The Spark loop (outer threshold rounds + capped inner frontier waves +
+    the cap-hit decrement flush) is EQUIVALENT to a uniform wave
+    recurrence, which is what unrolls cleanly: wave w first decrements
+    unassigned runtime degrees by the wave w-1 frontier's edges, then
+    assigns priority w-1 to unassigned vertices with rdeg <= thr_w. The
+    threshold schedule is carried as a one-row params CTE: thr bumps by
+    step = avg_degree * thre_param / 5 when a wave assigns nothing or a
+    6-wave run at one threshold ends (outer assign + the reference's
+    innerLoop <= 5); the cap-hit decrement flush is exactly the decrement
+    half of the next uniform wave. Once every vertex holds a priority,
+    further waves are no-ops, so unrolling with margin is safe and an
+    under-unroll surfaces as the driver-visible hash mismatch."""
+    parts = [
+        edges_cte,
+        """
+, sym AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
+)
+, s0 AS MATERIALIZED (
+  SELECT src AS vertex, COUNT(*)::BIGINT AS rdeg, NULL::BIGINT AS priority
+  FROM sym GROUP BY src
+)
+, p1 AS MATERIALIZED (
+  SELECT (SELECT AVG(rdeg) FROM s0) AS thr,
+"""
+        + f"         (SELECT AVG(rdeg) FROM s0) * {thre_param} / 5.0 AS step,\n"
+        + """         1::BIGINT AS runlen
+)
+""",
+    ]
+    for w in range(1, n_waves + 1):
+        parts.append(
+            f"""
+, f{w} AS MATERIALIZED (SELECT vertex FROM s{w - 1} WHERE priority = {w - 2})
+, d{w} AS (
+  SELECT e.dst AS vertex, COUNT(*)::BIGINT AS dec
+  FROM sym e JOIN f{w} f ON f.vertex = e.src GROUP BY e.dst
+)
+, s{w} AS MATERIALIZED (
+  SELECT vertex, rdeg,
+         (CASE WHEN priority IS NULL AND rdeg <= (SELECT thr FROM p{w})
+               THEN {w - 1} ELSE priority END)::BIGINT AS priority
+  FROM (
+    SELECT s.vertex,
+           CASE WHEN s.priority IS NULL THEN s.rdeg - COALESCE(d.dec, 0)
+                ELSE s.rdeg END AS rdeg,
+           s.priority
+    FROM s{w - 1} s LEFT JOIN d{w} d ON d.vertex = s.vertex
+  )
+)
+, p{w + 1} AS MATERIALIZED (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM s{w} WHERE priority = {w - 1}) = 0
+                OR (SELECT runlen FROM p{w}) >= 6
+              THEN (SELECT thr FROM p{w}) + (SELECT step FROM p1)
+              ELSE (SELECT thr FROM p{w}) END AS thr,
+         (SELECT step FROM p1) AS step,
+         (CASE WHEN (SELECT COUNT(*) FROM s{w} WHERE priority = {w - 1}) = 0
+                 OR (SELECT runlen FROM p{w}) >= 6
+               THEN 1 ELSE (SELECT runlen FROM p{w}) + 1 END)::BIGINT AS runlen
+)"""
+        )
+    parts.append(
+        f"""
+, pri AS MATERIALIZED (SELECT vertex, priority FROM s{n_waves})
+, peel_or AS (
+  SELECT CASE WHEN ps.priority < pd.priority
+                OR (ps.priority = pd.priority AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS osrc
+  FROM edges e
+  JOIN pri ps ON ps.vertex = e.src
+  JOIN pri pd ON pd.vertex = e.dst
+)
+, pod AS (SELECT osrc, COUNT(*)::DOUBLE AS out_degree FROM peel_or GROUP BY osrc)
+, degs AS (SELECT src AS vertex, COUNT(*) AS degree FROM sym GROUP BY src)
+, deg_or AS (
+  SELECT CASE WHEN ds.degree < dd.degree
+                OR (ds.degree = dd.degree AND e.src < e.dst)
+              THEN e.src ELSE e.dst END AS osrc
+  FROM edges e
+  JOIN degs ds ON ds.vertex = e.src
+  JOIN degs dd ON dd.vertex = e.dst
+)
+, dod AS (SELECT osrc, COUNT(*)::DOUBLE AS out_degree FROM deg_or GROUP BY osrc)
+SELECT
+  (SELECT ROUND(SUM(ABS(out_degree - (SELECT AVG(out_degree) FROM pod))), 6) FROM pod)
+    AS peel_balance_cost,
+  (SELECT ROUND(SUM(ABS(out_degree - (SELECT AVG(out_degree) FROM dod))), 6) FROM dod)
+    AS degree_balance_cost,
+  (SELECT (MAX(priority) + 1)::BIGINT FROM pri) AS n_levels
+"""
+    )
+    return "".join(parts)
+
+
 def peel_vs_degree_balance(
     spark: SparkSession, canonical: DataFrame, thre_param: float = 2.0
 ) -> DataFrame:
