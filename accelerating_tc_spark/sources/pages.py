@@ -50,7 +50,19 @@ def normalize_url(col: Column | str) -> Column:
     return c
 
 
-_HREF_RE = re.compile(r"""<a\s[^>]*?href\s*=\s*["']([^"'<>]+)["']""", re.IGNORECASE)
+# href values: quoted (group 1) OR the HTML5 unquoted-attribute form
+# (group 2: no whitespace/quotes/angle-brackets/backtick) — real crawls
+# carry both. findall therefore yields (quoted, unquoted) tuples; the
+# scanner coalesces.
+_HREF_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:["']([^"'<>]+)["']|([^\s"'<>`]+))""",
+    re.IGNORECASE,
+)
+# first <base href> wins (HTML spec: only the first base element counts)
+_BASE_RE = re.compile(
+    r"""<base\s[^>]*?href\s*=\s*(?:["']([^"'<>]+)["']|([^\s"'<>`]+))""",
+    re.IGNORECASE,
+)
 
 
 def _resolve(base: str, href: str) -> str | None:
@@ -80,7 +92,12 @@ def _resolve(base: str, href: str) -> str | None:
                 segments.pop()
             continue
         segments.append(seg)
-    return origin + "/" + "/".join(segments)
+    # a directory-form href ("x/", "x/.", "x/..", ".", "..") must KEEP its
+    # trailing slash: the result may serve as a <base> and the slash is
+    # what makes its last segment a directory, not a file
+    trailing = href.endswith(("/", "/.", "/..")) or href in (".", "..")
+    tail = "/" if trailing and segments else ""
+    return origin + "/" + "/".join(segments) + tail
 
 
 _LINKS_SCHEMA = "src_url string, dst_url string"
@@ -139,23 +156,46 @@ def _resolve_series(src: pd.Series, href: pd.Series) -> pd.Series:
 
 
 def extract_links(pages: DataFrame) -> DataFrame:
-    """(src_url, dst_url) per hyperlink — vectorized href scan + vectorized
-    URL resolution over Arrow batches; self-links dropped after
-    normalization; duplicates kept (the edge builder dedups, mirroring the
-    reference's cleaning stages)."""
+    """(src_url, dst_url) per hyperlink — vectorized href scan (quoted AND
+    unquoted attribute forms) + vectorized URL resolution over Arrow
+    batches. A page's first `<base href>` overrides the resolution base
+    for every relative link on that page (the base itself resolving
+    against the page URL when relative); the edge SOURCE stays the page
+    URL. Self-links dropped after normalization; duplicates kept (the
+    edge builder dedups, mirroring the reference's cleaning stages)."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
             html = pdf["html"].apply(
                 lambda b: b.decode("utf-8", "replace") if b is not None else ""
             )
+            urls = pdf["url"].astype(object)
+            # effective per-page resolution base: first <base href>,
+            # resolved against the page URL when relative, else the page
+            bx = html.str.extract(_BASE_RE)
+            base_href = bx[0].where(bx[0].notna(), bx[1])
+            base_href = base_href.where(base_href.notna() & (base_href != ""), None)
+            eff_base = urls.copy()
+            has_base = base_href.notna()
+            if has_base.any():
+                rb = _resolve_series(
+                    urls[has_base], base_href[has_base].astype(object)
+                )
+                eff_base.loc[has_base] = rb.where(rb.notna(), urls[has_base])
             ex = pd.DataFrame(
-                {"src_url": pdf["url"].to_numpy(), "href": html.str.findall(_HREF_RE)}
+                {
+                    "src_url": urls.to_numpy(),
+                    "base_url": eff_base.to_numpy(),
+                    "href": html.str.findall(_HREF_RE),
+                }
             ).explode("href")
             ex = ex[ex["href"].notna()]
             if len(ex):
                 ex = ex.reset_index(drop=True)
-                ex["dst_url"] = _resolve_series(ex["src_url"], ex["href"])
+                # findall yields (quoted, unquoted) tuples: coalesce
+                ex["href"] = ex["href"].map(lambda t: t[0] if t[0] else t[1])
+                ex["dst_url"] = _resolve_series(ex["base_url"], ex["href"])
             else:
                 ex["dst_url"] = pd.Series([], dtype=object)
             yield ex[ex["dst_url"].notna()][["src_url", "dst_url"]]

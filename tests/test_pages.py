@@ -131,3 +131,52 @@ def test_generate_pages_distributed_matches_driver_side(spark):
     assert ("http://site0.example/p0", "http://site0.example/p1") in links
     assert ("http://site0.example/p0", "http://site1.example/p0") in links
     assert all(s != d for s, d in links)
+
+
+def test_unquoted_hrefs_and_base_override(spark):
+    """Real-crawl HTML forms: unquoted attribute values and <base href>
+    overrides (first base wins; relative base resolves against the page
+    URL; the edge SOURCE stays the page URL; absolute links unaffected)."""
+    rows = [
+        # unquoted hrefs, no base
+        ("http://u.example/p", b'<html><a href=/rooted>r</a><a href=sib.html>s</a>'
+                              b'<a href=http://abs.example/z>a</a></html>'),
+        # absolute base: root-relative, bare-relative, ../ all re-rooted
+        ("http://b.example/x/page", b'<html><head><base href="http://cdn.example/dir/sub/"></head>'
+                                    b'<a href="/top">t</a><a href="leaf.html">l</a>'
+                                    b'<a href="../up.html">u</a>'
+                                    b'<a href="http://abs.example/z">a</a></html>'),
+        # relative base: resolves against the page URL first
+        ("http://r.example/a/b/page", b'<html><base href="../other/"><a href="leaf">l</a></html>'),
+        # two base tags: only the FIRST counts
+        ("http://f.example/p", b'<html><base href="http://one.example/d/">'
+                               b'<base href="http://two.example/"><a href="x">x</a></html>'),
+        # unquoted base href
+        ("http://q.example/p", b'<html><base href=http://unq.example/d/><a href="y">y</a></html>'),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pd.Timestamp("2026-01-01"),
+            "html": [r[1] for r in rows],
+            "text": "",
+            "lang": "en",
+        }
+    )
+    pages = spark.createDataFrame(
+        pdf, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {(r["src_url"], r["dst_url"]) for r in P.extract_links(pages).collect()}
+    expected = {
+        ("http://u.example/p", "http://u.example/rooted"),
+        ("http://u.example/p", "http://u.example/sib.html"),
+        ("http://u.example/p", "http://abs.example/z"),
+        ("http://b.example/x/page", "http://cdn.example/top"),
+        ("http://b.example/x/page", "http://cdn.example/dir/sub/leaf.html"),
+        ("http://b.example/x/page", "http://cdn.example/dir/up.html"),
+        ("http://b.example/x/page", "http://abs.example/z"),
+        ("http://r.example/a/b/page", "http://r.example/a/other/leaf"),
+        ("http://f.example/p", "http://one.example/d/x"),
+        ("http://q.example/p", "http://unq.example/d/y"),
+    }
+    assert got == expected
