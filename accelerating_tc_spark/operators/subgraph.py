@@ -99,7 +99,11 @@ def subgraph_match_counts_from_file(
     of sm.cpp's main loop, sm.cpp:60-112): one row (query_idx, embeddings)
     per query block. Queries are few and tiny by construction, so the
     driver-side loop mirrors the reference's sequential query loop; each
-    count is a full distributed job."""
+    count is a full distributed job. Ceiling: wall time is sequential in
+    the number of query blocks — fine for reference-format files (a
+    handful of blocks); a thousand-query batch should instead submit the
+    per-query jobs from concurrent driver threads (Spark schedules them
+    into one fair pool) or union the per-query plans."""
     from ..sources.io import load_query_graphs
 
     rows = []

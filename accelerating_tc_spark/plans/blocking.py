@@ -26,18 +26,22 @@ def auto_n_blocks(
     cores: int,
     n_adj_entries: int,
     task_budget_bytes: int = 256 << 20,
-    min_blocks: int = 4,
-    max_blocks: int = 1024,
+    min_blocks: int = 8,
+    max_blocks: int = 1536,
 ) -> int:
     """Derive the block count from parallelism + shard size — the
     `cal_part_num` analog (reference tricore/src/tricount_gpu.cu:103-115
     derives partition count from device memory; here the two binding
     resources are straggler amortization and per-task memory):
 
-    - grow B until B² >= 8·cores: B² block-pair tasks must comfortably
-      out-number the cores or size variance leaves cores starved behind
-      stragglers (measured, BENCH.md §1b: 22.0s at B=8 -> 7.5s at B=16 on
-      32 cores; B=8 vs 16 is a wash on 8 cores — exactly the 8× rule),
+    - grow B along the {8, 12, 16, 24, 32, ...} ladder until
+      B² >= 18·cores: B(B+1)/2 block-pair tasks must out-number the cores
+      ~9:1 or size variance leaves cores starved behind stragglers. The
+      constant and the ladder (which, unlike pure doubling, can land on
+      12/24/48) are measured: at 8 cores B=12 beats both B=8 (15.0s vs
+      11.5s) and B=16 (17.2/18.9s vs 14.7/11.9s interleaved); at 32 cores
+      B=24 (11.4s) ≈ B=32 (10.9s) ≫ B=16 (12.9s); at 2 cores B=8 ≈ B=4
+      (43.5 vs 45.5s) — BENCH.md §6e,
     - grow B until a task's working set (two adjacency shards,
       ~2·entries/B int64s) fits the task budget — the memory bound that
       keeps the plan alive at 100× data.
@@ -45,11 +49,15 @@ def auto_n_blocks(
     Shuffle volume is |E| + 2B·|adj|, linear in B — so B is grown only as
     far as the two rules demand, never "as big as possible".
     """
+    def grow(b: int) -> int:
+        # ladder: 8, 12, 16, 24, 32, 48, ... (alternating ×1.5, ×4/3)
+        return b + b // 2 if b & (b - 1) == 0 else (b * 4) // 3
+
     b = min_blocks
-    while b * b < 8 * cores and b < max_blocks:
-        b *= 2
+    while b * b < 18 * cores and b < max_blocks:
+        b = grow(b)
     while (16 * n_adj_entries) // b > task_budget_bytes and b < max_blocks:
-        b *= 2
+        b = grow(b)
     return b
 
 

@@ -50,7 +50,21 @@ def _count_new_triangles(spark: SparkSession, old: DataFrame, delta: DataFrame) 
     """Exact count of triangles having >= 1 edge in `delta`, given the
     disjoint canonical edge sets `old` and `delta`."""
     sym_old = prep.symmetrize(old)
-    adj_old = sym_old.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    # Only Δ's endpoints ever probe the old adjacency: semi-join the store
+    # down to those vertices BEFORE the groupBy, so the shuffled/aggregated
+    # volume is ∝ edges touching Δ (|Δ| × degree), not 2|E|. The store scan
+    # itself stays (columnar read; bucketed/pruned on a real lakehouse
+    # table), but the per-batch shuffle no longer grows with the store.
+    endpoints = (
+        delta.select(F.col("src").alias("v"))
+        .union(delta.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    adj_old = (
+        sym_old.join(endpoints.withColumnRenamed("v", "src"), "src", "left_semi")
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    )
 
     # t1: one Δ edge, two old edges — per Δ edge |N_old(u) ∩ N_old(v)|
     a_u = adj_old.withColumnRenamed("nbrs", "nbrs_u")

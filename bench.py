@@ -118,6 +118,8 @@ def main() -> None:
         return run_truss()
     if "--kcore" in sys.argv:
         return run_kcore_ab()
+    if "--stream" in sys.argv:
+        return run_stream_volume()
 
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     t0 = time.time()
@@ -179,11 +181,12 @@ def scaling_single(cores: int) -> None:
     chosen_b = SCALE_BLOCKS or auto_n_blocks(
         spark.sparkContext.defaultParallelism, n_edges
     )
+    n_measures = int(os.environ.get("SPARK_GRAFT_SCALE_MEASURES", "2"))
     for _ in range(2):
         triangles.triangle_count_blocked(oriented, n_blocks=SCALE_BLOCKS, deg=deg).collect()
     dt = float("inf")
     tri = 0
-    for _ in range(3):
+    for _ in range(n_measures):
         t0 = time.time()
         tri = triangles.triangle_count_blocked(oriented, n_blocks=SCALE_BLOCKS, deg=deg).collect()[0][
             "triangles"
@@ -210,27 +213,40 @@ def run_scaling() -> None:
     shows the BOX itself only sustains ~0.70 from 8->32 processes
     (frequency/hypervisor capping) but ~0.96 from 2->8 — the engine must be
     measured inside the machine's own linear range. The 8->32 number is
-    reported alongside so the hardware ceiling is data, not prose."""
+    reported alongside so the hardware ceiling is data, not prose.
+
+    Levels are INTERLEAVED across SPARK_GRAFT_SCALE_ROUNDS (default 3)
+    passes — 2,8,32, 2,8,32, ... — and each level takes its minimum
+    across passes. A sequential protocol couples the efficiency ratio to
+    VM drift WITHIN the session (a box that slows 25% between the 2-core
+    and 8-core measurement fabricates a 25% efficiency loss; measured
+    r4 session 4); interleaving gives every level a shot at each weather
+    window, so the per-level minima come from comparable conditions."""
     import subprocess
 
     levels = [
         int(x)
         for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8,32").split(",")
     ]
-    results = {}
-    for cores in levels:
-        # Pin the whole process tree (JVM, GC threads, Python workers) to
-        # exactly `cores` CPUs — local[N] alone still lets GC/shuffle/worker
-        # threads spill onto all CPUs, which inflates the small-N baseline
-        # and understates scaling efficiency. taskset = the honest local
-        # emulation of an N-core cluster slice.
-        cmd = [sys.executable, __file__, "--scaling-single", str(cores)]
-        import shutil as _shutil
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    visits: dict[int, list[dict]] = {c: [] for c in levels}
+    for _ in range(rounds):
+        for cores in levels:
+            # Pin the whole process tree (JVM, GC threads, Python workers)
+            # to exactly `cores` CPUs — local[N] alone still lets
+            # GC/shuffle/worker threads spill onto all CPUs, which inflates
+            # the small-N baseline and understates scaling efficiency.
+            # taskset = the honest local emulation of an N-core slice.
+            cmd = [sys.executable, __file__, "--scaling-single", str(cores)]
+            import shutil as _shutil
 
-        if _shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-        out = subprocess.run(cmd, capture_output=True, text=True, check=True)
-        results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+            if _shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            visits[cores].append(json.loads(out.stdout.strip().splitlines()[-1]))
+    results = {
+        c: min(vs, key=lambda r: r["sec"]) for c, vs in visits.items()
+    }
     effs = {}
     for a, b in zip(levels, levels[1:]):
         effs[f"eff_{a}to{b}"] = round(
@@ -244,6 +260,7 @@ def run_scaling() -> None:
         "sf": _sf_label(SF_DIR),
         "efficiencies": effs,
         "detail": results,
+        "visits": {str(c): [r["sec"] for r in vs] for c, vs in visits.items()},
         "parity": len({r["triangles"] for r in results.values()}) == 1,
     }
     print(json.dumps(out))
@@ -517,6 +534,115 @@ def run_truss() -> None:
                     **cascade,
                 },
                 "parity": dec_edges == naive_edges,
+            }
+        )
+    )
+
+
+def run_stream_volume() -> None:
+    """Incremental triangle maintenance at volume: ~1M edges in ~20 equal
+    Δ batches. Records per-batch wall vs Δ size — the claim under test is
+    that per-batch cost is Δ-proportional (the old-adjacency shuffle is
+    semi-joined down to Δ's endpoints), so walls stay ~flat while the
+    store grows 20x. Mid-stream, the maintainer is killed AFTER the
+    state-commit but BEFORE publish (the staged-commit crash window) and a
+    fresh maintainer recovers + replays; the final total must equal an
+    independent batch count of the full edge set."""
+    import json as _json
+    import shutil as _shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import prep, triangles
+    from accelerating_tc_spark.session import get_spark
+    from accelerating_tc_spark.sources import synthetic
+    from accelerating_tc_spark.streaming import edges as stream_edges
+
+    spark = get_spark("bench_stream", cores=CPUS, shuffle_partitions=CPUS)
+    v = int(os.environ.get("SPARK_GRAFT_STREAM_V", "200000"))
+    e = int(os.environ.get("SPARK_GRAFT_STREAM_E", "1000000"))
+    n_batches = int(os.environ.get("SPARK_GRAFT_STREAM_BATCHES", "20"))
+    crash_at = n_batches // 2
+
+    raw = synthetic.zipf_edges_distributed(spark, v, e, s=0.5)
+    # deterministic batch split by edge hash
+    batched = raw.withColumn(
+        "b", F.pmod(F.xxhash64("src", "dst"), F.lit(n_batches))
+    ).cache()
+    n_raw = batched.count()
+
+    work = tempfile.mkdtemp(prefix="bench-stream-")
+    state_dir = os.path.join(work, "state")
+    per_batch = []
+    m = stream_edges.TriangleMaintainer(spark, state_dir)
+    for b in range(n_batches):
+        delta_raw = batched.where(F.col("b") == b).select("src", "dst")
+        if b == crash_at:
+            # staged-commit crash window: stage Δ + commit state, no publish
+            delta_c = prep.canonicalize_edges(delta_raw)
+            new_edges = delta_c.join(m._store(), ["src", "dst"], "left_anti")
+            t0 = time.time()
+            n_new = new_edges.count()
+            new_edges.write.mode("overwrite").parquet(m._pending_dir(b))
+            t_new = stream_edges._count_new_triangles(spark, m._store(), spark.read.parquet(m._pending_dir(b)))
+            st = m.totals()
+            st.update(
+                triangles=st["triangles"] + t_new,
+                edges=st["edges"] + n_new,
+                batches=st["batches"] + 1,
+                last_batch_id=b,
+            )
+            with open(m.state_path, "w") as fh:
+                _json.dump(st, fh)
+            # "crash" here: no publish. Fresh maintainer must recover.
+            m = stream_edges.TriangleMaintainer(spark, state_dir)
+            m.process_batch(delta_raw, b)  # replay of committed batch: no-op
+            per_batch.append(
+                {"batch": b, "delta": n_new, "wall_s": round(time.time() - t0, 3),
+                 "crash_resume": True}
+            )
+            continue
+        t0 = time.time()
+        m.process_batch(delta_raw, b)
+        per_batch.append(
+            {"batch": b,
+             "delta": int(batched.where(F.col("b") == b).count()),
+             "wall_s": round(time.time() - t0, 3)}
+        )
+    totals = m.totals()
+
+    # independent full-batch oracle over everything delivered
+    canonical = prep.canonicalize_edges(batched.select("src", "dst"))
+    expected_tri = int(
+        triangles.count_triangles(canonical, strategy="blocked").first()["triangles"]
+    )
+    expected_edges = canonical.count()
+    _shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+    walls = [p["wall_s"] for p in per_batch if not p.get("crash_resume")]
+    first3 = sum(walls[:3]) / 3
+    last3 = sum(walls[-3:]) / 3
+    print(
+        json.dumps(
+            {
+                "metric": "stream_tc_volume",
+                "value": round(last3 / first3, 3),
+                "unit": "late_vs_early_batch_wall_ratio",
+                "queries": {"total_stream_s": round(sum(p["wall_s"] for p in per_batch), 3)},
+                "sf": _sf_label(SF_DIR),
+                "parity": totals["triangles"] == expected_tri
+                and totals["edges"] == expected_edges,
+                "detail": {
+                    "n_raw_edges": n_raw,
+                    "n_batches": n_batches,
+                    "triangles": totals["triangles"],
+                    "expected_triangles": expected_tri,
+                    "edges": totals["edges"],
+                    "expected_edges": expected_edges,
+                    "per_batch": per_batch,
+                },
             }
         )
     )
