@@ -206,3 +206,30 @@ def test_pagerank_checkpoint_resume(spark, graph, tmp_path):
     # lineage metrics recorded per iteration
     lineage = (tmp_path / "pr_ckpt" / "lineage.jsonl").read_text().strip().splitlines()
     assert len(lineage) >= 10
+
+
+def test_lineage_cutter_bounds_chains_and_survives_close(spark):
+    """LineageCutter: every `every`-th cut is a parquet hard cut whose
+    scratch slots are unique (lazy refs to earlier cut states stay valid),
+    and close(final) re-anchors the result so it outlives the scratch dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import supersteps
+
+    cutter = supersteps.LineageCutter(spark, every=3, prefix="test-cutter-")
+    state = spark.range(0, 100).select(F.col("id").alias("v"))
+    kept = []
+    for i in range(7):
+        state = cutter.cut(state.select((F.col("v") + 1).alias("v")))
+        kept.append(state)
+    scratch = cutter.scratch
+    assert scratch is not None and os.path.isdir(scratch)
+    # unique slots: both hard cuts (i=2 and i=5) still readable
+    assert len(os.listdir(scratch)) == 2
+    assert kept[2].count() == 100 and kept[5].count() == 100
+    final = cutter.close(state)
+    assert not os.path.isdir(scratch)
+    # final survives scratch removal and carries all 7 increments
+    assert final.agg(F.min("v")).first()[0] == 7
