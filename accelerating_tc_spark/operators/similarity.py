@@ -220,55 +220,64 @@ def ivf_train_centroids(
 ) -> list[list[float]]:
     """Deterministic k-means coarse quantizer over unit vectors.
 
-    Init = the unit vectors of the n_centroids smallest ids (seed-free
-    deterministic); each iteration is one Spark pass: assign every vector
-    to its nearest centroid (vectorized numpy matmul over Arrow batches),
-    then per-centroid mean via explode + groupBy. Centroids are C×dim
-    floats — driver-small by construction (C ~ sqrt(n) at scale), so the
-    literal-broadcast pattern holds at any corpus size.
+    Init = the unit vectors of the n_centroids rows with the smallest
+    xxhash64(id) (seed-free deterministic, and HASH-SPREAD across the
+    corpus: on real corpora ids correlate with content — crawl order,
+    shard order — so the previous first-N-by-id init collapsed the seeds
+    into one content region and k-means quality degraded silently; the
+    hash order is uniform regardless of id layout). Each iteration is one
+    Spark pass: assign every vector to its nearest centroid (vectorized
+    numpy matmul over Arrow batches), then per-centroid mean via
+    explode + groupBy. Centroids are C×dim floats — driver-small by
+    construction (C ~ sqrt(n) at scale), so the literal-broadcast pattern
+    holds at any corpus size.
     """
     # Cache the normalized relation once: every iteration's job reads it
     # instead of re-normalizing from source (the r3 plan-audit finding).
+    # try/finally: a failed training job must not leak the cached relation.
     unit = with_unit_vectors(embeddings, vec_col).select(id_col, "unit").cache()
-    cents = [
-        list(r["unit"])
-        for r in unit.orderBy(id_col).limit(n_centroids).collect()
-    ]
-    # A corpus smaller than n_centroids yields fewer init vectors; clamp so
-    # the empty-cluster carry-over below never indexes past the end. The
-    # returned list IS the carried artifact (callers size everything off
-    # len(centroids)), so the clamp propagates automatically.
-    n_centroids = min(n_centroids, len(cents))
-    if n_centroids == 0:
-        unit.unpersist()
-        raise ValueError("ivf_train_centroids: empty corpus")
-    cents = cents[:n_centroids]
-    for _ in range(n_iters):
-        assigned = unit.select(
-            "unit", F.element_at(_nearest_centroids(cents, 1), 1).alias("cid")
-        )
-        rows = (
-            assigned.select("cid", F.posexplode("unit").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("v").alias("m"))
+    try:
+        cents = [
+            list(r["unit"])
+            for r in unit.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(n_centroids)
             .collect()
-        )
-        by_cid: dict[int, list[float]] = {}
-        for r in rows:
-            by_cid.setdefault(int(r["cid"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
-        # renormalize means to unit length (cosine k-means); empty
-        # centroids keep their previous position
-        new = []
-        for c in range(n_centroids):
-            if c in by_cid:
-                v = np.asarray(by_cid[c])
-                n = float(np.linalg.norm(v)) or 1.0
-                new.append((v / n).tolist())
-            else:
-                new.append(cents[c])
-        cents = new
-    unit.unpersist()
-    return cents
+        ]
+        # A corpus smaller than n_centroids yields fewer init vectors; clamp so
+        # the empty-cluster carry-over below never indexes past the end. The
+        # returned list IS the carried artifact (callers size everything off
+        # len(centroids)), so the clamp propagates automatically.
+        n_centroids = min(n_centroids, len(cents))
+        if n_centroids == 0:
+            raise ValueError("ivf_train_centroids: empty corpus")
+        cents = cents[:n_centroids]
+        for _ in range(n_iters):
+            assigned = unit.select(
+                "unit", F.element_at(_nearest_centroids(cents, 1), 1).alias("cid")
+            )
+            rows = (
+                assigned.select("cid", F.posexplode("unit").alias("pos", "v"))
+                .groupBy("cid", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, list[float]] = {}
+            for r in rows:
+                by_cid.setdefault(int(r["cid"]), [0.0] * dim)[int(r["pos"])] = float(r["m"])
+            # renormalize means to unit length (cosine k-means); empty
+            # centroids keep their previous position
+            new = []
+            for c in range(n_centroids):
+                if c in by_cid:
+                    v = np.asarray(by_cid[c])
+                    n = float(np.linalg.norm(v)) or 1.0
+                    new.append((v / n).tolist())
+                else:
+                    new.append(cents[c])
+            cents = new
+        return cents
+    finally:
+        unit.unpersist()
 
 
 def _nearest_centroids(centroids: list[list[float]], n_probe: int) -> "F.Column":

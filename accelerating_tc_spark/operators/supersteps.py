@@ -208,9 +208,16 @@ def iterate(
         elif hard_cut_every and chain_len + 1 >= hard_cut_every:
             # parquet hard cut: bound the localCheckpoint chain (see
             # hard_cut_every docstring) — alternate two scratch slots so
-            # the slot being overwritten is never the one being read
+            # the slot being overwritten is never the one being read.
+            # With a checkpoint_dir the slots live under it (shared storage
+            # on a cluster — executors must be able to read the cut back);
+            # only dir-less in-memory loops fall back to a local tempdir.
             if scratch_dir is None:
-                scratch_dir = tempfile.mkdtemp(prefix="superstep-scratch-")
+                if checkpoint_dir:
+                    scratch_dir = os.path.join(checkpoint_dir, "_scratch")
+                    os.makedirs(scratch_dir, exist_ok=True)
+                else:
+                    scratch_dir = tempfile.mkdtemp(prefix="superstep-scratch-")
             slot = os.path.join(scratch_dir, f"slot{(i // hard_cut_every) % 2}")
             new_state.write.mode("overwrite").parquet(slot)
             persisted = spark.read.parquet(slot)

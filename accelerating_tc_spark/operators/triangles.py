@@ -483,8 +483,11 @@ def triangle_count_estimate(
     n_kept = kept.count()
     est = int(round(int(row["triangles"]) / (p_real**3)))
     spark = edges_raw.sparkSession
+    # p column carries the REALIZED probability so the row is
+    # self-consistent: triangles_est == round(sampled_triangles / p^3)
+    # recomputed by a consumer from this row's own values.
     return spark.createDataFrame(
-        [(est, n_kept, float(p))],
+        [(est, n_kept, float(p_real))],
         "triangles_est long, sampled_edges long, p double",
     )
 

@@ -53,7 +53,9 @@ def auto_n_blocks(
         # ladder: 8, 12, 16, 24, 32, 48, ... (alternating ×1.5, ×4/3)
         return b + b // 2 if b & (b - 1) == 0 else (b * 4) // 3
 
-    b = min_blocks
+    # grow(1) == 1 and grow(2)/grow(3) land off-ladder; clamp to the
+    # ladder's base so the growth loops always make progress.
+    b = max(min_blocks, 4)
     while b * b < 18 * cores and b < max_blocks:
         b = grow(b)
     while (16 * n_adj_entries) // b > task_budget_bytes and b < max_blocks:
