@@ -77,7 +77,7 @@ def connected_components_run(
         )
         return float(changed)
 
-    return supersteps.iterate(
+    run = supersteps.iterate(
         spark,
         init,
         step,
@@ -87,6 +87,7 @@ def connected_components_run(
         checkpoint_dir=checkpoint_dir,
         on_nonconverged="raise",  # exact-semantics operator
     )
+    return supersteps.finalize(run, sym)
 
 
 def connected_components(

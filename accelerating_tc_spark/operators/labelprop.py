@@ -18,13 +18,16 @@ from pyspark.sql import functions as F
 from . import prep, supersteps
 
 
-def label_propagation(
+def label_propagation_run(
     spark: SparkSession,
     canonical: DataFrame,
     n_iterations: int = 5,
     checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """(vertex, label) after n_iterations of synchronous min-mode propagation."""
+) -> "supersteps.SuperstepRun":
+    """Full SuperstepRun (state + per-round lineage metrics); `run.state`
+    is (vertex, label) after n_iterations of synchronous min-mode
+    propagation. In unmetered fixed-round mode the wall of lazy rounds
+    lands on the next lineage-cut round."""
     n_part = spark.sparkContext.defaultParallelism
     sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
     init = sym.select(F.col("src").alias("vertex")).distinct().select(
@@ -59,7 +62,19 @@ def label_propagation(
         # fixed-round unmetered mode: lineage cut every 2 rounds
         checkpoint_every=2,
     )
-    return run.state
+    return supersteps.finalize(run, sym)
+
+
+def label_propagation(
+    spark: SparkSession,
+    canonical: DataFrame,
+    n_iterations: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(vertex, label) after n_iterations of synchronous min-mode propagation."""
+    return label_propagation_run(
+        spark, canonical, n_iterations=n_iterations, checkpoint_dir=checkpoint_dir
+    ).state
 
 
 def label_propagation_oracle_sql(edges_cte: str, n_iterations: int = 5) -> str:

@@ -24,16 +24,21 @@ def _vertices(sym: DataFrame) -> DataFrame:
     return sym.select(F.col("src").alias("vertex")).distinct()
 
 
-def pagerank(
+def pagerank_run(
     spark: SparkSession,
     canonical: DataFrame,
     n_iterations: int = 10,
     damping: float = DAMPING,
     tolerance: float | None = None,
     checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """(vertex, rank) after n_iterations (or earlier L1 convergence if
-    `tolerance` is set). Ranks sum to 1 over the vertex set."""
+) -> "supersteps.SuperstepRun":
+    """Full SuperstepRun (state + per-round lineage metrics) for PageRank.
+
+    `run.state` is (vertex, rank) after n_iterations (or earlier L1
+    convergence if `tolerance` is set); ranks sum to 1 over the vertex set.
+    `run.metrics[i].wall_s` gives per-round walls — in unmetered
+    fixed-round mode rounds between lineage cuts are lazy, so their wall
+    lands on the next cut round (document-read accordingly)."""
     n_part = spark.sparkContext.defaultParallelism
     sym = prep.symmetrize(canonical)
     verts = _vertices(sym).repartition(n_part, "vertex").cache()
@@ -89,7 +94,27 @@ def pagerank(
         # eager whenever delta_fn or a checkpoint dir needs it)
         checkpoint_every=1 if tolerance is not None else 3,
     )
-    return run.state
+    return supersteps.finalize(run, verts, edges_od)
+
+
+def pagerank(
+    spark: SparkSession,
+    canonical: DataFrame,
+    n_iterations: int = 10,
+    damping: float = DAMPING,
+    tolerance: float | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(vertex, rank) after n_iterations (or earlier L1 convergence if
+    `tolerance` is set). Ranks sum to 1 over the vertex set."""
+    return pagerank_run(
+        spark,
+        canonical,
+        n_iterations=n_iterations,
+        damping=damping,
+        tolerance=tolerance,
+        checkpoint_dir=checkpoint_dir,
+    ).state
 
 
 def pagerank_oracle_sql(edges_cte: str, n_iterations: int = 10, damping: float = DAMPING) -> str:

@@ -49,6 +49,28 @@ class SuperstepRun:
     metrics: list[IterationMetrics] = field(default_factory=list)
 
 
+def finalize(run: SuperstepRun, *helpers: DataFrame) -> SuperstepRun:
+    """Pin `run.state` independent of loop-helper relations, then release
+    the helpers' caches.
+
+    Iterative operators cache per-loop relations (edge+degree tables etc.)
+    that the returned state may still reference lazily (rounds after the
+    last lineage cut). Without this, every call leaks one cached helper
+    set for the session's lifetime — a repeated-pass caller (bench
+    protocol, notebook) accumulates them. The eager localCheckpoint
+    materializes the (vertex-sized, small) state once so the unpersist
+    cannot force a recompute from cold sources later."""
+    state = run.state.localCheckpoint(eager=True)
+    for h in helpers:
+        h.unpersist()
+    return SuperstepRun(
+        state=state,
+        iterations=run.iterations,
+        converged=run.converged,
+        metrics=run.metrics,
+    )
+
+
 def _partition_histogram(df: DataFrame) -> dict[str, int]:
     rows = (
         df.groupBy(F.spark_partition_id().alias("pid"))

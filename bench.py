@@ -48,7 +48,55 @@ def build_graph(spark, sf_dir):
     return canonical, n_edges
 
 
-def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]]:
+_CAL_SNIPPET = """
+import numpy as np, time
+n = 1024
+rng = np.random.default_rng(7)
+a = rng.random((n, n)); b = rng.random((n, n))
+a @ b
+best = float("inf")
+for _ in range(5):
+    t0 = time.perf_counter(); a @ b
+    best = min(best, time.perf_counter() - t0)
+print(round(2 * n**3 / best / 1e9, 1))
+"""
+
+
+def cpu_calibration() -> float:
+    """Box-health probe: SINGLE-THREADED numpy matmul GFLOP/s, run in a
+    fresh subprocess with BLAS pinned to 1 thread.
+
+    Recorded BEFORE and AFTER the suite so a reader can separate box
+    weather from code: this sandbox has shown identical-code 2x wall
+    swings across runs (VERDICT r4). Measured design constraints: the
+    multi-threaded probe swings 11-450 GFLOP/s within one session
+    (thread-pool scheduling noise on the shared hypervisor) and is
+    useless as a reference; the 1-thread n=1024 probe repeats at ~53+-2.
+    A subprocess is the only reliable way to pin BLAS threads (numpy
+    reads the env at import, and this process has Spark's JVM running)."""
+    import subprocess
+
+    env = dict(
+        os.environ,
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", _CAL_SNIPPET], capture_output=True, text=True, env=env
+    )
+    try:
+        return float(out.stdout.strip().splitlines()[-1])
+    except (IndexError, ValueError):
+        return -1.0
+
+
+def run_headline_once(spark, canonical, n_edges, extras) -> dict[str, float]:
+    """One full pass over the headline queries; per-query walls.
+
+    The degree orientation is rebuilt (and un-cached) every pass so each
+    pass measures the same work; only the canonical edge table stays
+    cached (graph build is excluded from per-query times by design)."""
     from pyspark.sql import functions as F
 
     from accelerating_tc_spark.operators import (
@@ -59,9 +107,7 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]
         triangles,
     )
 
-    canonical, n_edges = build_graph(spark, sf_dir)
     times: dict[str, float] = {}
-    extras: dict[str, float] = {}
 
     def timed(name, fn):
         t0 = time.time()
@@ -80,23 +126,67 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, float]
         "tc_array_intersect",
         lambda: triangles.triangle_count_array_intersect(oriented).collect()[0]["triangles"],
     )
-    timed("pagerank10", lambda: pagerank.pagerank(spark, canonical, n_iterations=10).count())
-    timed("connected_components", lambda: components.connected_components(spark, canonical).count())
-    timed("label_propagation5", lambda: labelprop.label_propagation(spark, canonical, n_iterations=5).count())
+
+    def _pr():
+        run = pagerank.pagerank_run(spark, canonical, n_iterations=10)
+        run.state.count()
+        return [m.wall_s for m in run.metrics]
+
+    def _cc():
+        run = components.connected_components_run(spark, canonical)
+        run.state.count()
+        return [m.wall_s for m in run.metrics]
+
+    def _lp():
+        run = labelprop.label_propagation_run(spark, canonical, n_iterations=5)
+        run.state.count()
+        return [m.wall_s for m in run.metrics]
+
+    # per-round walls from this pass overwrite extras each pass, so the
+    # published telemetry is the LAST pass's round shape (lazy unmetered
+    # rounds report ~0 and their wall lands on the next lineage cut)
+    extras["pagerank10_rounds"] = timed("pagerank10", _pr)
+    extras["connected_components_rounds"] = timed("connected_components", _cc)
+    extras["label_propagation5_rounds"] = timed("label_propagation5", _lp)
     timed(
         "degree_histogram",
         lambda: prep.degree_histogram(canonical).agg(F.sum("n_vertices")).collect(),
     )
+    oriented.unpersist()
 
-    extras["n_edges"] = n_edges
-    extras["triangles"] = tri
-    extras["triangles_per_sec"] = round(tri / times["tc_blocked"], 1) if times["tc_blocked"] else 0
+    extras.setdefault("triangles", tri)
+    if extras["triangles"] != tri:
+        raise AssertionError(
+            f"triangle parity broke across passes: {extras['triangles']} != {tri}"
+        )
+    return times
+
+
+def run_headline(spark, sf_dir: str, rounds: int) -> tuple[dict, dict, dict]:
+    """Noise-robust headline protocol (r5): the whole suite is run
+    `rounds` times in one session and each query reports its MINIMUM
+    across passes, plus the full per-pass spread. Single-shot timing on
+    this sandbox could not distinguish a regression from weather
+    (identical code swung 22.7s -> 46.3s on label propagation, VERDICT
+    r4); min-of-N over interleaved full passes gives every query a shot
+    at each weather window, and the spread quantifies how unstable the
+    window was. Pass 1 doubles as JIT/codegen warm-up — min ignores it."""
+    canonical, n_edges = build_graph(spark, sf_dir)
+    extras: dict = {"n_edges": n_edges}
+    visits: dict[str, list[float]] = {}
+    for _ in range(rounds):
+        for name, sec in run_headline_once(spark, canonical, n_edges, extras).items():
+            visits.setdefault(name, []).append(sec)
+    times = {name: min(vs) for name, vs in visits.items()}
+    extras["triangles_per_sec"] = (
+        round(extras["triangles"] / times["tc_blocked"], 1) if times["tc_blocked"] else 0
+    )
     from accelerating_tc_spark.plans.blocking import auto_n_blocks
 
     extras["tc_n_blocks_auto"] = auto_n_blocks(
         spark.sparkContext.defaultParallelism, n_edges
     )
-    return times, extras
+    return times, extras, visits
 
 
 def main() -> None:
@@ -121,11 +211,23 @@ def main() -> None:
     if "--stream" in sys.argv:
         return run_stream_volume()
 
+    rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    cal_pre = cpu_calibration()
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
     t0 = time.time()
-    times, extras = run_headline(spark, SF_DIR)
-    total = round(time.time() - t0, 3)
+    times, extras, visits = run_headline(spark, SF_DIR, rounds)
+    wall = round(time.time() - t0, 3)
     spark.stop()
+    cal_post = cpu_calibration()
+    # value = sum of per-query minima: the noise-robust suite total.
+    # wall_total (extras) is the raw session wall including all passes.
+    total = round(sum(times.values()), 3)
+    extras["wall_total"] = wall
+    # spread ratio max/min per query: >1.2 means that query's window was
+    # unstable and its min should be read with the calibration numbers
+    spread = {
+        q: round(max(vs) / max(min(vs), 1e-9), 2) for q, vs in visits.items()
+    }
     print(
         json.dumps(
             {
@@ -134,6 +236,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": _sf_label(SF_DIR),
+                "protocol": {
+                    "rounds": rounds,
+                    "stat": "min_per_query",
+                    "visits": visits,
+                    "spread_max_over_min": spread,
+                    "calibration_gflops": {"pre": cal_pre, "post": cal_post},
+                },
                 "extras": extras,
             }
         )
