@@ -353,8 +353,23 @@ def _q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# SimHash oracle fixture: the xxhash64-based signature kernel has no DuckDB
+# equivalent, but the banding + Hamming-verify stages are SQL-expressible.
+# The Spark query writes its (differential-pytest-pinned) signatures here
+# and recomputes pairs FROM THE WRITTEN TABLE; the oracle reads the same
+# parquet and applies the banding/popcount in SQL — exact value-hash
+# coverage for everything downstream of the hash. The driver runs the Spark
+# side before the oracle side (check_contract mirrors this), so the fixture
+# always reflects the current sf.
+_SIMHASH_FIXTURE = _REPO / ".fixtures" / "simhash_sigs.parquet"
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
+    sig = dedup.simhash_signatures(_docs(spark, sf_dir))
+    _SIMHASH_FIXTURE.parent.mkdir(exist_ok=True)
+    sig.write.mode("overwrite").parquet(str(_SIMHASH_FIXTURE))
+    sig_read = spark.read.parquet(str(_SIMHASH_FIXTURE))
+    return dedup.simhash_pairs_from_signatures(sig_read, max_hamming=3).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -956,8 +971,30 @@ ORDER BY s.doc_id
         # candidate recall at j>=0.8 is ~0.9997 so results equal the exact
         # join (a miss would surface here — that's the claim being checked).
         "minhash_dedup_pairs": _JACCARD_ORACLE,
-        # simhash_near_dups: xxhash64-based signature has no SQL equivalent
-        # -> rows-only; differential tests in tests/test_text_dedup.py.
+        # simhash_near_dups: signatures come from the Spark kernel (pinned
+        # by differential pytest — xxhash64 has no DuckDB equivalent) via
+        # the parquet fixture; banding + popcount-verify are re-derived in
+        # SQL, so those stages get exact oracle coverage.
+        "simhash_near_dups": f"""
+WITH sig AS (
+  SELECT doc_id, simhash
+  FROM read_parquet('{_SIMHASH_FIXTURE}/*.parquet')
+),
+chunks AS (
+  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 16)) & 65535 AS v
+  FROM sig, (SELECT UNNEST([0, 1, 2, 3]) AS chunk) c
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.v = b.v AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sig_a, sig_b))::BIGINT AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+ORDER BY doc_a, doc_b
+""",
         "ann_cosine_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 10),
 scored AS (

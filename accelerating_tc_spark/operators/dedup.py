@@ -399,13 +399,23 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
 
 
 def simhash_near_dup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(doc_a, doc_b, hamming) with Hamming distance <= max_hamming.
+    """(doc_a, doc_b, hamming) with Hamming distance <= max_hamming."""
+    return simhash_pairs_from_signatures(
+        simhash_signatures(documents), max_hamming=max_hamming
+    )
+
+
+def simhash_pairs_from_signatures(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banding + verification over a (doc_id, simhash) table.
 
     Banding: 4 chunks of 16 bits — any pair within Hamming<=3 shares at
     least one exact chunk (pigeonhole), so candidates come from 4 cheap
     equality joins; verification is a popcount expression (JVM-side).
+    Split from simhash_near_dup_pairs so the signature table can round-trip
+    through a parquet fixture the DuckDB oracle reads — the banding and
+    Hamming stages ARE SQL-expressible and get exact oracle coverage even
+    though xxhash64 itself has no DuckDB equivalent.
     """
-    sig = simhash_signatures(documents)
     chunks = sig.select(
         "doc_id",
         "simhash",

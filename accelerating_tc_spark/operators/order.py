@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ranking import dense_rank_ids
-from . import components, prep
+from . import components, prep, supersteps
 
 _PACK_SHIFT = 6  # 64-bit words (matches functions/intersect.py)
 
@@ -96,7 +96,30 @@ def slashburn_order(
         k = max(1, min(n_total // 64, 1024))
     front, back = 0, n_total - 1
     assignments: list[DataFrame] = []
-    remaining = canonical.localCheckpoint(eager=True)
+    # LineageCutter bounds the per-round cut chain: max_rounds=20 chained
+    # localCheckpoints crosses the measured ~15-cut Spark 4.1 cliff
+    # (BENCH.md §6a — geometric per-round degradation); every 8th cut is a
+    # parquet round-trip instead. The assignments list holds lazy refs to
+    # cut states, so cleanup happens once via close(out) at the end.
+    cutter = supersteps.LineageCutter(spark, every=8, prefix="slashburn-cut-")
+    with cutter:
+        out = _slashburn_rounds(
+            spark, canonical, cutter, assignments, k, max_rounds, front, back
+        )
+        return cutter.close(out)
+
+
+def _slashburn_rounds(
+    spark: SparkSession,
+    canonical: DataFrame,
+    cutter: "supersteps.LineageCutter",
+    assignments: list[DataFrame],
+    k: int,
+    max_rounds: int,
+    front: int,
+    back: int,
+) -> DataFrame:
+    remaining = cutter.cut(canonical)
 
     for _ in range(max_rounds):
         n_remaining = back - front + 1
@@ -141,10 +164,9 @@ def slashburn_order(
             )
             back -= n_non_giant
         giant_v = cc.join(giant.select("component"), "component", "left_semi").select("vertex")
-        remaining = (
+        remaining = cutter.cut(
             remainder.join(giant_v.withColumnRenamed("vertex", "src"), "src", "left_semi")
             .join(giant_v.withColumnRenamed("vertex", "dst"), "dst", "left_semi")
-            .localCheckpoint(eager=True)
         )
 
     # leftover: everything unassigned, front ids in vertex order
@@ -188,38 +210,51 @@ def bfs_order(
         spark.sparkContext.defaultParallelism, "src"
     ).cache()
     comps = components.connected_components(spark, canonical)
-    # level 0: each component's min vertex (its component label)
-    state = comps.select(
-        "vertex",
-        F.when(F.col("vertex") == F.col("component"), F.lit(0))
-        .otherwise(F.lit(None))
-        .cast("long")
-        .alias("level"),
-    ).localCheckpoint(eager=True)
-    for lvl in range(1, max_rounds + 1):
-        frontier = state.where(F.col("level") == lvl - 1).select("vertex")
-        if frontier.limit(1).count() == 0:
-            break
-        reached = (
-            sym.join(frontier.withColumnRenamed("vertex", "src"), "src")
-            .select(F.col("dst").alias("vertex"))
-            .distinct()
+    # level 0: each component's min vertex (its component label).
+    # LineageCutter bounds the per-level cut chain: rounds = diameter can
+    # reach max_rounds=64 — far past the ~15-localCheckpoint Spark 4.1
+    # cliff (BENCH.md §6a) — so every 8th cut is a parquet round-trip.
+    cutter = supersteps.LineageCutter(spark, every=8, prefix="bfs-order-cut-")
+    with cutter:
+        state = cutter.cut(
+            comps.select(
+                "vertex",
+                F.when(F.col("vertex") == F.col("component"), F.lit(0))
+                .otherwise(F.lit(None))
+                .cast("long")
+                .alias("level"),
+            )
         )
-        state = state.join(
-            reached.withColumn("_r", F.lit(True)), "vertex", "left"
-        ).select(
-            "vertex",
-            F.when(F.col("level").isNotNull(), F.col("level"))
-            .when(F.col("_r").isNotNull(), F.lit(lvl))
-            .cast("long")
-            .alias("level"),
-        ).localCheckpoint(eager=True)
-    filled = state.select(
-        "vertex", F.coalesce("level", F.lit(max_rounds + 1)).alias("level")
-    )
-    return dense_rank_ids(filled, [F.asc("level"), F.asc("vertex")]).select(
-        "vertex", "new_id"
-    )
+        for lvl in range(1, max_rounds + 1):
+            frontier = state.where(F.col("level") == lvl - 1).select("vertex")
+            if frontier.limit(1).count() == 0:
+                break
+            reached = (
+                sym.join(frontier.withColumnRenamed("vertex", "src"), "src")
+                .select(F.col("dst").alias("vertex"))
+                .distinct()
+            )
+            state = cutter.cut(
+                state.join(
+                    reached.withColumn("_r", F.lit(True)), "vertex", "left"
+                ).select(
+                    "vertex",
+                    F.when(F.col("level").isNotNull(), F.col("level"))
+                    .when(F.col("_r").isNotNull(), F.lit(lvl))
+                    .cast("long")
+                    .alias("level"),
+                )
+            )
+        filled = state.select(
+            "vertex", F.coalesce("level", F.lit(max_rounds + 1)).alias("level")
+        )
+        out = cutter.close(
+            dense_rank_ids(filled, [F.asc("level"), F.asc("vertex")]).select(
+                "vertex", "new_id"
+            )
+        )
+        sym.unpersist()
+        return out
 
 
 def compression_ratio(canonical: DataFrame, mapping: DataFrame | None = None) -> DataFrame:

@@ -145,6 +145,17 @@ class LineageCutter:
             self.scratch = None
         return out
 
+    # context-manager form: `with LineageCutter(...) as cutter:` guarantees
+    # the scratch dir is removed on exception paths (a failed deep cascade
+    # must not leak parquet scratch on disk). Callers still call
+    # close(final_df) on the success path — close() is idempotent, so the
+    # __exit__ close() is then a no-op.
+    def __enter__(self) -> "LineageCutter":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.close()
+
 
 def iterate(
     spark: SparkSession,

@@ -140,10 +140,11 @@ def ktruss(
     Support is computed once; rounds pay only dropped-edge-driven joins."""
     if k < 3:
         return canonical
-    cutter = supersteps.LineageCutter(spark, prefix="ktruss-")
-    state = cutter.cut(edge_support(canonical))
-    state, _dropped = _peel_level(state, k, max_rounds, cutter)
-    return cutter.close(state.select("src", "dst"))
+    # context manager: a failed deep cascade must not leak parquet scratch
+    with supersteps.LineageCutter(spark, prefix="ktruss-") as cutter:
+        state = cutter.cut(edge_support(canonical))
+        state, _dropped = _peel_level(state, k, max_rounds, cutter)
+        return cutter.close(state.select("src", "dst"))
 
 
 def ktruss_oracle_sql(edges_cte: str, k: int, n_rounds: int = 24) -> str:
@@ -203,29 +204,30 @@ def truss_numbers(
     changes WHICH k processes it, not the k at which it first drops.
     level_jump=False steps k one at a time (the pre-jump cascade, kept as
     the same-session A/B baseline for bench --truss)."""
-    cutter = supersteps.LineageCutter(spark, prefix="truss-")
-    state = cutter.cut(edge_support(canonical))
-    labeled: list[DataFrame] = []
-    k = 3
-    while k <= max_k:
-        m = state.agg(F.min("support").alias("m")).first()["m"]
-        if m is None:
-            break  # nothing left to peel
-        if level_jump:
-            # first level that drops anything: support m < k-2 <=> k > m+2
-            k = max(k, int(m) + 3)
-            if k > max_k:
-                k = max_k + 1  # leftovers are capped at max_k, as in the
-                break          # stepwise cascade
-        state, dropped_frames = _peel_level(state, k, 100000, cutter)
-        for d in dropped_frames:
-            labeled.append(d.select("src", "dst", F.lit(k - 1).cast("long").alias("truss")))
-        k += 1
-    if state.limit(1).count() > 0:
-        labeled.append(
-            state.select("src", "dst", F.lit(k - 1).cast("long").alias("truss"))
-        )
-    out = labeled[0]
-    for df in labeled[1:]:
-        out = out.unionAll(df)
-    return cutter.close(out)
+    # context manager: a failed deep cascade must not leak parquet scratch
+    with supersteps.LineageCutter(spark, prefix="truss-") as cutter:
+        state = cutter.cut(edge_support(canonical))
+        labeled: list[DataFrame] = []
+        k = 3
+        while k <= max_k:
+            m = state.agg(F.min("support").alias("m")).first()["m"]
+            if m is None:
+                break  # nothing left to peel
+            if level_jump:
+                # first level that drops anything: support m < k-2 <=> k > m+2
+                k = max(k, int(m) + 3)
+                if k > max_k:
+                    k = max_k + 1  # leftovers are capped at max_k, as in the
+                    break          # stepwise cascade
+            state, dropped_frames = _peel_level(state, k, 100000, cutter)
+            for d in dropped_frames:
+                labeled.append(d.select("src", "dst", F.lit(k - 1).cast("long").alias("truss")))
+            k += 1
+        if state.limit(1).count() > 0:
+            labeled.append(
+                state.select("src", "dst", F.lit(k - 1).cast("long").alias("truss"))
+            )
+        out = labeled[0]
+        for df in labeled[1:]:
+            out = out.unionAll(df)
+        return cutter.close(out)

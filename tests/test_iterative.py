@@ -233,3 +233,31 @@ def test_lineage_cutter_bounds_chains_and_survives_close(spark):
     assert not os.path.isdir(scratch)
     # final survives scratch removal and carries all 7 increments
     assert final.agg(F.min("v")).first()[0] == 7
+
+
+def test_lineage_cutter_context_manager_cleans_on_exception(spark):
+    """`with LineageCutter(...)` removes the scratch dir when the body
+    raises (the r4 leak: a failed deep cascade left parquet scratch on
+    disk), and stays a no-op after an explicit close()."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import supersteps
+
+    scratch_seen = None
+    try:
+        with supersteps.LineageCutter(spark, every=1, prefix="test-ctx-") as cutter:
+            cutter.cut(spark.range(10).select(F.col("id").alias("v")))
+            scratch_seen = cutter.scratch
+            assert scratch_seen is not None and os.path.isdir(scratch_seen)
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert not os.path.isdir(scratch_seen)
+
+    # success path: close(final) already cleaned; __exit__ must not break
+    with supersteps.LineageCutter(spark, every=1, prefix="test-ctx2-") as cutter:
+        st = cutter.cut(spark.range(5).select(F.col("id").alias("v")))
+        final = cutter.close(st)
+    assert final.count() == 5

@@ -92,3 +92,42 @@ def test_compression_ratio_improves_with_ordering(spark):
     ).collect()[0]["comp_ratio"]
     assert 0 < relab <= 1.0 and 0 < base <= 1.0
     assert relab <= base + 0.05  # ordering should roughly help, never blow up
+
+
+def test_bfs_order_deep_path_flat_rounds(spark):
+    """A 40-level path drives bfs_order through 40 frontier rounds — past
+    the measured ~15-chained-localCheckpoint Spark 4.1 cliff (BENCH.md
+    §6a). With LineageCutter routing every 8th cut through parquet the
+    per-round wall stays flat; without it the tail rounds degrade
+    geometrically and this test times out. Correctness: new_id must equal
+    the path position (single component, source = vertex 0)."""
+    import time
+
+    n = 41  # vertices 0..40, path 0-1-...-40 => BFS levels 0..40
+    edges = synthetic.edges_df(spark, [(i, i + 1) for i in range(n - 1)])
+    t0 = time.time()
+    mapping = {
+        r["vertex"]: r["new_id"]
+        for r in order.bfs_order(spark, prep.canonicalize_edges(edges), max_rounds=64).collect()
+    }
+    wall = time.time() - t0
+    assert mapping == {v: v for v in range(n)}
+    # flat-cost bound, sized for a loaded box (measured 35s quiet): the
+    # pre-cutter geometric tail alone (x2.5/round past ~15 cuts) exceeds
+    # this by orders of magnitude before round 40
+    assert wall < 300, f"bfs_order 40-round wall {wall:.1f}s — lineage chain regressed"
+
+
+def test_slashburn_deep_rounds_terminates(spark):
+    """30 slashburn rounds (k=2 on a 300-vertex hub-heavy graph) exercise
+    the cutter-backed remaining-edges chain; mapping must stay bijective."""
+    edges = synthetic.powerlaw_edges(spark, n_vertices=300, n_edges=1800, seed=9)
+    canonical = prep.canonicalize_edges(edges)
+    mapping = order.slashburn_order(spark, canonical, k=2, max_rounds=30)
+    rows = mapping.collect()
+    n_v = canonical.select(F.col("src").alias("v")).union(
+        canonical.select(F.col("dst").alias("v"))
+    ).distinct().count()
+    assert len(rows) == n_v
+    assert len({r["new_id"] for r in rows}) == n_v
+    assert {r["new_id"] for r in rows} == set(range(n_v))
