@@ -174,3 +174,47 @@ def test_ivf_small_corpus_clamps_centroids(spark):
     assert out.count() > 0
     with pytest.raises(ValueError, match="empty corpus"):
         similarity.ivf_train_centroids(emb.limit(0), dim=DIM, n_centroids=4)
+
+
+def test_ivf_recall_on_cluster_sorted_ids(spark):
+    """Adversarial id layout for centroid seeding: vec_ids sorted BY
+    CLUSTER (the common real-corpus case — crawl/shard order correlates
+    with content). The old first-N-by-id init drew every seed from
+    cluster 0 and k-means quality collapsed silently; the xxhash64-spread
+    init must keep recall vs brute force at the floor the contract row
+    enforces."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((8, DIM)) * 3.0
+    rows = []
+    vid = 0
+    for c in range(8):  # ids 0..14 are ALL cluster 0, 15..29 cluster 1, ...
+        for _ in range(15):
+            v = base[c] + 0.1 * rng.standard_normal(DIM)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.where("vec_id % 15 = 7")  # one query per cluster
+    cents = similarity.ivf_train_centroids(emb, dim=DIM, n_centroids=8, n_iters=4)
+    # hash-spread seeding must reach >1 content region even though the
+    # first 8 ids all live in cluster 0
+    import numpy as _np
+
+    cmat = _np.asarray(cents)
+    bnorm = base / _np.linalg.norm(base, axis=1, keepdims=True)
+    nearest_cluster = {int(_np.argmax(bnorm @ c)) for c in cmat}
+    assert len(nearest_cluster) >= 4, "seeds collapsed into few content regions"
+    exact = similarity.cosine_topk_bruteforce(emb, queries, k=5).collect()
+    approx = similarity.ann_topk_ivf(
+        emb, queries, dim=DIM, k=5, n_probe=3, centroids=cents
+    ).collect()
+    exact_sets: dict = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx_sets: dict = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9
