@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources import snapshots
+
 
 @dataclass
 class IterationMetrics:
@@ -80,23 +82,15 @@ def _partition_histogram(df: DataFrame) -> dict[str, int]:
     return {str(r["pid"]): r["n"] for r in rows}
 
 
-def _iter_dir(checkpoint_dir: str, i: int) -> str:
-    return os.path.join(checkpoint_dir, f"iter={i:05d}")
-
-
-def _is_complete(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
-
-
 def latest_checkpoint(checkpoint_dir: str) -> int | None:
-    """Highest completed iteration in a checkpoint dir, or None."""
-    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+    """Highest completed iteration in a checkpoint dir, or None.
+
+    Thin wrapper over the table-format seam (sources/snapshots) kept for
+    API stability — resuming drivers call this before building a session
+    state."""
+    if not checkpoint_dir:
         return None
-    done = []
-    for name in os.listdir(checkpoint_dir):
-        if name.startswith("iter=") and _is_complete(os.path.join(checkpoint_dir, name)):
-            done.append(int(name.split("=")[1]))
-    return max(done) if done else None
+    return snapshots.ParquetIterationLog(None, checkpoint_dir).latest()
 
 
 class LineageCutter:
@@ -201,11 +195,15 @@ def iterate(
     scratch_dir: str | None = None
     chain_len = 0  # consecutive localCheckpoint cuts since the last hard cut
 
+    ckpt_log = None
     if checkpoint_dir:
         os.makedirs(checkpoint_dir, exist_ok=True)
-        last = latest_checkpoint(checkpoint_dir) if resume else None
+        # checkpoint mechanics live in the table-format seam: swapping
+        # parquet-iter-dirs for Iceberg snapshots replaces this log class
+        ckpt_log = snapshots.ParquetIterationLog(spark, checkpoint_dir)
+        last = ckpt_log.latest() if resume else None
         if last is not None:
-            state = spark.read.parquet(_iter_dir(checkpoint_dir, last))
+            state = ckpt_log.read(last)
             start_iter = last + 1
 
     converged = False
@@ -215,16 +213,9 @@ def iterate(
         t0 = time.time()
         new_state = step(state, i)
 
-        if checkpoint_dir and (i % checkpoint_every == 0 or i == max_iterations - 1):
-            out = _iter_dir(checkpoint_dir, i)
-            tmp = out + ".tmp"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            new_state.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(out):
-                shutil.rmtree(out)
-            os.rename(tmp, out)
-            persisted = spark.read.parquet(out)  # lineage cut: read back the snapshot
+        if ckpt_log and (i % checkpoint_every == 0 or i == max_iterations - 1):
+            # durable commit + lineage cut: read back the written snapshot
+            persisted = ckpt_log.write(new_state, i)
             chain_len = 0
         elif (
             delta_fn is None

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import snapshots
+
 EDGE_SCHEMA = "src LONG, dst LONG"
 
 
@@ -41,11 +43,13 @@ def write_edges(edges: DataFrame, path: str, n_buckets: int | None = None) -> No
     out = edges
     if n_buckets:
         out = edges.repartitionByRange(n_buckets, "src").sortWithinPartitions("src", "dst")
-    out.write.mode("overwrite").parquet(path)
+    # durable-table write goes through the table-format seam (the Iceberg
+    # swap point); the bucketed layout above is orthogonal to the format
+    snapshots.write_table(out, path)
 
 
 def read_edges(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path).select(
+    return snapshots.read_table(spark, path).select(
         F.col("src").cast("long"), F.col("dst").cast("long")
     )
 

@@ -31,52 +31,42 @@ after each commit, and the replayed batch recomputes the identical merge.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import components, prep
+from ..sources import snapshots
 
 LABEL_SCHEMA = "vertex long, component long"
 
 
 class ComponentMaintainer:
-    """foreachBatch sink: parquet (vertex, component) store, exact labels
-    (component = min vertex id in the component) after every batch."""
+    """foreachBatch sink: versioned (vertex, component) snapshot store,
+    exact labels (component = min vertex id in the component) after every
+    batch. All durable-state mechanics live in the table-format seam
+    (sources/snapshots.ParquetSnapshotStore) — the Iceberg swap replaces
+    the store class, not this maintainer."""
 
     def __init__(self, spark: SparkSession, state_dir: str):
         self.spark = spark
         self.state_dir = state_dir
-        self.pointer_path = os.path.join(state_dir, "CURRENT")
-        os.makedirs(state_dir, exist_ok=True)
-        self._gc_stale_versions()
+        self.store = snapshots.ParquetSnapshotStore(
+            spark, state_dir, prefix="labels.v", pointer_name="CURRENT"
+        )
+        # kept for tests/backcompat introspection
+        self.pointer_path = self.store.pointer_path
+        self.store.gc_stale()
 
     def _current_version(self) -> int | None:
-        """Committed version number, or None before the first commit."""
-        if os.path.exists(self.pointer_path):
-            with open(self.pointer_path) as fh:
-                return int(fh.read().strip())
-        return None
+        return self.store.current()
 
     def _version_dir(self, v: int) -> str:
-        return os.path.join(self.state_dir, f"labels.v{v}")
-
-    def _gc_stale_versions(self) -> None:
-        """Drop label directories not referenced by CURRENT — leftovers of
-        a crash between the parquet write and the pointer flip (or between
-        the flip and the old-version cleanup)."""
-        cur = self._current_version()
-        keep = os.path.basename(self._version_dir(cur)) if cur is not None else None
-        for name in os.listdir(self.state_dir):
-            if name.startswith("labels.v") and name != keep:
-                shutil.rmtree(os.path.join(self.state_dir, name), ignore_errors=True)
+        return self.store.version_dir(v)
 
     def labels(self) -> DataFrame:
-        cur = self._current_version()
+        cur = self.store.read_current()
         if cur is not None:
-            return self.spark.read.parquet(self._version_dir(cur))
+            return cur
         return self.spark.createDataFrame([], LABEL_SCHEMA)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -128,20 +118,12 @@ class ComponentMaintainer:
             )
 
         # Commit: write the new version dir, flip the pointer atomically
-        # (os.replace of the one-line CURRENT file is the commit point),
-        # then GC the superseded version. A crash anywhere leaves CURRENT
-        # on a complete table.
-        cur = self._current_version()
+        # (the store's commit point), then GC the superseded version. A
+        # crash anywhere leaves CURRENT on a complete table.
+        cur = self.store.current()
         nxt = 0 if cur is None else cur + 1
-        full.write.mode("overwrite").parquet(self._version_dir(nxt))
-        ptr_tmp = self.pointer_path + ".tmp"
-        with open(ptr_tmp, "w") as fh:
-            fh.write(str(nxt))
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(ptr_tmp, self.pointer_path)
-        if cur is not None:
-            shutil.rmtree(self._version_dir(cur), ignore_errors=True)
+        self.store.write_version(full, nxt)
+        self.store.commit(nxt)
 
 
 def run_incremental_components(

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import prep, triangles
+from ..sources import snapshots
 
 EDGE_SCHEMA = "src long, dst long"
 
@@ -127,6 +128,11 @@ class TriangleMaintainer:
         self.edges_path = os.path.join(state_dir, "edges")
         self.pending_path = os.path.join(state_dir, "pending")
         self.state_path = os.path.join(state_dir, "state.json")
+        # staged-append mechanics live in the table-format seam; state.json
+        # (this class) remains the single commit point
+        self._append = snapshots.ParquetAppendStore(
+            spark, self.edges_path, self.pending_path
+        )
         os.makedirs(state_dir, exist_ok=True)
         self._recover()
 
@@ -137,45 +143,23 @@ class TriangleMaintainer:
         return {"triangles": 0, "edges": 0, "batches": 0, "last_batch_id": -1}
 
     def _pending_dir(self, batch_id: int) -> str:
-        return os.path.join(self.pending_path, str(batch_id))
+        return self._append.stage_dir(batch_id)
 
     def _publish(self, batch_id: int) -> None:
-        """Move staged parquet parts into the store (idempotent)."""
-        src_dir = self._pending_dir(batch_id)
-        if not os.path.isdir(src_dir):
-            return
-        os.makedirs(self.edges_path, exist_ok=True)
-        for name in os.listdir(src_dir):
-            if name.endswith(".parquet"):
-                os.replace(
-                    os.path.join(src_dir, name),
-                    os.path.join(self.edges_path, f"batch{batch_id}-{name}"),
-                )
-        import shutil
-
-        shutil.rmtree(src_dir)
+        self._append.publish(batch_id)
 
     def _recover(self) -> None:
         """Finish any committed-but-unpublished batch; drop uncommitted
         staging (its batch will be re-delivered and recomputed)."""
-        if not os.path.isdir(self.pending_path):
-            return
         last = self._load_state().get("last_batch_id", -1)
-        import shutil
-
-        for name in os.listdir(self.pending_path):
-            bid = int(name)
+        for bid in self._append.staged_ids():
             if bid <= last:
-                self._publish(bid)
+                self._append.publish(bid)
             else:
-                shutil.rmtree(self._pending_dir(bid))
+                self._append.drop_stage(bid)
 
     def _store(self) -> DataFrame | None:
-        if os.path.isdir(self.edges_path) and any(
-            n.endswith(".parquet") for n in os.listdir(self.edges_path)
-        ):
-            return self.spark.read.parquet(self.edges_path)
-        return None
+        return self._append.read()
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._recover()
@@ -195,8 +179,7 @@ class TriangleMaintainer:
             return
         new_tri = _count_new_triangles(self.spark, old, delta)
         # (1) stage
-        staged = self._pending_dir(batch_id)
-        delta.write.mode("overwrite").parquet(staged)
+        self._append.stage(delta, batch_id)
         # (2) commit — the atomic point
         state["triangles"] += new_tri
         state["edges"] += n_delta

@@ -300,7 +300,8 @@ def scaling_single(cores: int, n_vertices: int | None = None, n_edges_req: int |
         spark.sparkContext.defaultParallelism, n_edges
     )
     n_measures = int(os.environ.get("SPARK_GRAFT_SCALE_MEASURES", "2"))
-    for _ in range(2):
+    n_warmups = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUPS", "2"))
+    for _ in range(n_warmups):
         triangles.triangle_count_blocked(oriented, n_blocks=SCALE_BLOCKS, deg=deg).collect()
     dt = float("inf")
     tri = 0
