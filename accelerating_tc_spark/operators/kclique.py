@@ -13,17 +13,50 @@ the same cached edge relation (the DataFrame analog of the reference's
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import prep
 
 
-def kclique_count(edges_raw: DataFrame, k: int, orient: str = "degree") -> DataFrame:
+def _level_task_count(
+    est_rows: int, parallelism: int, rows_per_task: int, max_tasks: int
+) -> int:
+    """Task count for one expansion level: enough tasks that the ESTIMATED
+    expansion output stays under rows_per_task per task, floored at the
+    core count and capped (scheduler overhead) at max_tasks."""
+    need = math.ceil(est_rows / max(rows_per_task, 1))
+    return max(parallelism, min(max_tasks, need))
+
+
+def kclique_count(
+    edges_raw: DataFrame,
+    k: int,
+    orient: str = "degree",
+    rows_per_task: int = 2_000_000,
+    max_tasks: int = 4096,
+    stats: list | None = None,
+) -> DataFrame:
     """1-row DataFrame (cliques: long) — exact count of k-cliques.
 
     orient='degree' bounds the join fan-out (the reference's reason for
     A-direction); 'id' matches the plain SQL oracle. Counts are identical.
+
+    Level fan-out is BOUNDED the way the reference bounds it (kcl.cu
+    chunks embeddings with a binary search so each chunk fits GPU memory,
+    kcl.cu:163-181): before each expansion join the exact output size of
+    the join is computed as sum(out_degree(last member)) — one cheap
+    aggregate — and the embedding table is repartitioned on the join key
+    into `_level_task_count` partitions, so per-task expansion output is
+    ~rows_per_task regardless of how explosive the level is. Residual
+    within-key skew (one hot last-member) is AQE skew-join territory —
+    the session enables it; this sizing handles the BETWEEN-level growth
+    AQE cannot anticipate (it plans from the previous level's sizes, not
+    the expansion factor). `stats` (optional) receives one dict per level:
+    {level, est_rows, n_tasks, max_task_rows} — max_task_rows is measured
+    post-level and is the bounded-peak evidence in tests.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -31,11 +64,23 @@ def kclique_count(edges_raw: DataFrame, k: int, orient: str = "degree") -> DataF
     oriented = (
         prep.orient_by_degree(canonical) if orient == "degree" else canonical
     ).cache()
+    parallelism = edges_raw.sparkSession.sparkContext.defaultParallelism
+    # forward-degree per source: the exact per-embedding expansion cost
+    out_deg = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("_od")).cache()
 
     emb = oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
     for level in range(3, k + 1):
         last = f"v{level - 1}"
         new = f"v{level}"
+        # exact expansion-output estimate: Σ out_degree(last) over embeddings
+        est = (
+            emb.join(out_deg, emb[last] == out_deg["src"])
+            .agg(F.sum("_od"))
+            .first()[0]
+            or 0
+        )
+        n_tasks = _level_task_count(int(est), parallelism, rows_per_task, max_tasks)
+        emb = emb.repartition(n_tasks, last)
         # candidates: forward neighbors of the last member
         ext = oriented.select(F.col("src").alias(last), F.col("dst").alias(new))
         emb = emb.join(ext, last)
@@ -43,7 +88,24 @@ def kclique_count(edges_raw: DataFrame, k: int, orient: str = "degree") -> DataF
         for j in range(1, level - 1):
             ej = oriented.select(F.col("src").alias(f"v{j}"), F.col("dst").alias(new))
             emb = emb.join(ej, [f"v{j}", new], "left_semi")
-    return emb.agg(F.count(F.lit(1)).cast("long").alias("cliques"))
+        if stats is not None:
+            peak = (
+                emb.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.max("n"))
+                .first()[0]
+                or 0
+            )
+            stats.append(
+                {
+                    "level": level,
+                    "est_rows": int(est),
+                    "n_tasks": n_tasks,
+                    "max_task_rows": int(peak),
+                }
+            )
+    out = emb.agg(F.count(F.lit(1)).cast("long").alias("cliques"))
+    return out
 
 
 def kclique_oracle_sql(edges_cte: str, k: int) -> str:
