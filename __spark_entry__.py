@@ -374,6 +374,27 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Media pixel fixture: DuckDB cannot decode PPM/BMP, but it CAN aggregate
+# pixels. The Spark query real-decodes a deterministic PPM media table
+# (pure-numpy P6 decoder, pinned against hand-built arrays in pytest),
+# writes every pixel to this fixture, and returns numpy-side channel
+# stats; the oracle recomputes the same stats in SQL over the fixture —
+# exact coverage for everything downstream of the byte-level decode.
+_MEDIA_PIXELS_FIXTURE = _REPO / ".fixtures" / "media_pixels.parquet"
+
+
+def _q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from accelerating_tc_spark.operators import multimodal
+
+    media = multimodal.generate_media(spark, n_rows=60)
+    imgs = media.where("kind = 'image'")
+    _MEDIA_PIXELS_FIXTURE.parent.mkdir(exist_ok=True)
+    multimodal.decode_pixels(imgs).write.mode("overwrite").parquet(
+        str(_MEDIA_PIXELS_FIXTURE)
+    )
+    return multimodal.media_channel_stats(imgs).orderBy("media_id")
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir)
     queries_df = emb.where(F.col("vec_id") < 10)
@@ -590,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
         "pricing_summary": _q_pricing_summary,
+        "media_channel_stats": _q_media_stats,
     }
 
 
@@ -1054,6 +1076,25 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "event_sessions": stream_sessions.sessionize_oracle_sql(1800),
+        # channel stats recomputed in SQL over the exploded-pixel fixture
+        # the Spark side writes (decode itself is pytest-pinned; see
+        # _q_media_stats). 4-decimal rounding on both sides keeps
+        # numpy-vs-DuckDB summation-order ulps out of the hash.
+        "media_channel_stats": f"""
+WITH px AS (
+  SELECT media_id, r, g, b, (r + g + b) / 3.0 AS luma
+  FROM read_parquet('{_MEDIA_PIXELS_FIXTURE}/*.parquet')
+)
+SELECT media_id,
+       COUNT(*)::BIGINT AS n_pixels,
+       ROUND(AVG(r), 4) AS mean_r,
+       ROUND(AVG(g), 4) AS mean_g,
+       ROUND(AVG(b), 4) AS mean_b,
+       ROUND(stddev_pop(luma), 4) AS std_luma
+FROM px
+GROUP BY media_id
+ORDER BY media_id
+""",
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 6) AS sum_qty,

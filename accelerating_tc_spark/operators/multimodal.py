@@ -2,12 +2,15 @@
 
 Image/audio/video payloads are `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as vectorized pandas
-kernels over `mapInPandas`. The decode step itself is STUBBED (no
-image/audio libraries in this environment): `decode_image` raises
-NotImplementedError unless `fake=True`, in which case a deterministic fake
-decoder (seeded by the payload hash) produces stable pseudo-features so the
-Spark-side plumbing — schema, partitioning, UDF signature, Arrow batch
-shape — is fully real and tested.
+kernels over `mapInPandas`. Image decode is REAL for uncontainerized
+formats — pure-numpy P6 PPM and uncompressed 24-bit BMP decoders dispatch
+on magic bytes (encoders included as the test-fixture inverses). The
+boundary to compressed formats (PNG/JPEG) and audio/video codecs remains
+an explicit stub: `decode_image` raises NotImplementedError for those
+unless `fake=True`, in which case a deterministic fake decoder (seeded by
+the payload hash) produces stable pseudo-features so the Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape — stays
+fully real and tested either way.
 """
 
 from __future__ import annotations
@@ -22,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -43,17 +47,110 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for binary PPM (P6, maxval<=255) -> HxWx3 uint8.
+
+    Header: 'P6' then whitespace-separated width/height/maxval, with
+    '#'-comments allowed between tokens; a single whitespace byte ends the
+    header, then raw RGB triplets row-major."""
+    if not payload or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte that terminates the header
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    need = w * h * 3
+    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 24-bit BMP -> HxWx3 uint8.
+
+    BITMAPFILEHEADER (14 bytes: pixel-array offset at 10) +
+    BITMAPINFOHEADER (width i32 @18, height i32 @22 — positive means
+    bottom-up, bpp u16 @28 must be 24, compression u32 @30 must be 0);
+    rows are BGR, padded to 4-byte multiples."""
+    if not payload or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Inverse of decode_ppm (test-fixture generator): HxWx3 uint8 -> P6."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Inverse of decode_bmp (test-fixture generator): bottom-up 24-bit."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pixel_bytes = body.tobytes()
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixel_bytes).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    header = b"BM" + (14 + 40 + len(pixel_bytes)).to_bytes(4, "little") + b"\0\0\0\0" + (54).to_bytes(4, "little")
+    return header + dib + pixel_bytes
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    STUB: real decoding needs an image library not present in this
-    container. With fake=True, returns a deterministic 8x8x3 array derived
-    from the payload digest (stable across runs/machines).
-    """
+    REAL pure-numpy decoders cover P6 PPM and uncompressed 24-bit BMP
+    (dispatch on magic bytes). Compressed formats (PNG/JPEG) still need an
+    image library not present in this container — those payloads raise
+    NotImplementedError unless fake=True, in which case a deterministic
+    8x8x3 array derived from the payload digest keeps the plumbing
+    testable (stable across runs/machines)."""
+    if payload:
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "image decoding requires an image library (e.g. Pillow); "
-            "not available in this environment — pass fake=True for tests"
+            "only P6 PPM / uncompressed 24-bit BMP decode in this environment "
+            "(compressed formats need an image library); pass fake=True for tests"
         )
     digest = hashlib.sha256(payload or b"").digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
@@ -79,14 +176,122 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
             feats = []
             for payload in pdf["payload"]:
                 img = decode_image(payload, fake=fake).astype(np.float32)
-                # channel means/stds + 2x2 pooled luma: a real feature shape
+                # channel means/stds + 4x4 pooled luma: a real feature shape
                 luma = img.mean(axis=2)
-                pooled = luma.reshape(4, 2, 4, 2).mean(axis=(1, 3)).ravel()
+                pooled = _pool_grid(luma, 4).ravel()
                 f = np.concatenate([img.mean(axis=(0, 1)), img.std(axis=(0, 1)), pooled[:10]])
                 feats.append(f[:FEATURE_DIM].astype(np.float32))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return media.select("media_id", "payload").mapInPandas(run, schema=_FEATURES_SCHEMA)
+
+
+def _pool_grid(luma: np.ndarray, g: int) -> np.ndarray:
+    """g x g block-mean pooling for ANY HxW (uneven blocks get the
+    remainder rows/cols, matching how resize-then-pool would bucket)."""
+    h, w = luma.shape
+    ys = (np.arange(g + 1) * h) // g
+    xs = (np.arange(g + 1) * w) // g
+    return np.array(
+        [
+            [
+                luma[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)].mean()
+                for j in range(g)
+            ]
+            for i in range(g)
+        ]
+    )
+
+
+_PIXELS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("y", IntegerType()),
+        StructField("x", IntegerType()),
+        StructField("r", IntegerType()),
+        StructField("g", IntegerType()),
+        StructField("b", IntegerType()),
+    ]
+)
+
+
+def decode_pixels(media: DataFrame) -> DataFrame:
+    """(media_id, y, x, r, g, b): every pixel of every REAL-decodable
+    payload (P6 PPM / 24-bit BMP), exploded — the oracle surface for the
+    decoder: DuckDB can aggregate these rows and must agree with the
+    numpy-side channel statistics computed independently from the same
+    payloads (media_channel_stats contract row)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "y", "x", "r", "g", "b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(payload)
+                h, w, _ = img.shape
+                yy, xx = np.mgrid[0:h, 0:w]
+                out["media_id"].append(np.full(h * w, mid, dtype=np.int64))
+                out["y"].append(yy.ravel())
+                out["x"].append(xx.ravel())
+                out["r"].append(img[:, :, 0].ravel())
+                out["g"].append(img[:, :, 1].ravel())
+                out["b"].append(img[:, :, 2].ravel())
+            yield pd.DataFrame(
+                {k: np.concatenate(v) if v else np.array([], dtype=np.int64) for k, v in out.items()}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=_PIXELS_SCHEMA)
+
+
+_CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_pixels", LongType()),
+        # doubles: float32 cannot hold 4 decimals of a 0..255 mean exactly,
+        # and the oracle compares rounded values
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+        StructField("std_luma", DoubleType()),
+    ]
+)
+
+
+def media_channel_stats(media: DataFrame) -> DataFrame:
+    """Per-image channel means + population luma std from the REAL decode
+    path (numpy over Arrow batches). Cross-checked against SQL aggregates
+    over decode_pixels' exploded rows in the driver's oracle gate. Stats round to 4 decimals on BOTH sides
+    so numpy-vs-DuckDB summation-order ulps can never flip the hash."""
+
+    def _r4(x: float) -> float:
+        # half-AWAY-from-zero at 4 decimals, matching SQL ROUND (python's
+        # round is half-even: round(128.65625, 4) -> .6562 vs SQL .6563)
+        import math
+
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(payload).astype(np.float64)
+                luma = img.mean(axis=2)
+                rows.append(
+                    (
+                        mid,
+                        img.shape[0] * img.shape[1],
+                        _r4(float(img[:, :, 0].mean())),
+                        _r4(float(img[:, :, 1].mean())),
+                        _r4(float(img[:, :, 2].mean())),
+                        _r4(float(luma.std())),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_pixels", "mean_r", "mean_g", "mean_b", "std_luma"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=_CHANNEL_STATS_SCHEMA
+    )
 
 
 _FRAME_SCHEMA = StructType(
@@ -131,13 +336,19 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> D
 
 
 def generate_media(spark, n_rows: int = 50, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table matching MEDIA_SCHEMA."""
+    """Deterministic media table matching MEDIA_SCHEMA. Image rows carry
+    REAL P6 PPM payloads (decodable by the pure-numpy path); audio/video
+    payloads stay opaque bytes behind the documented stub boundary."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n_rows):
         kind = kinds[i % 3]
-        payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+        if kind == "image":
+            img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+            payload = encode_ppm(img)
+        else:
+            payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
         rows.append(
             (
                 i,

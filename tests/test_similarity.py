@@ -218,3 +218,58 @@ def test_ivf_recall_on_cluster_sorted_ids(spark):
         for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.9
+
+
+def test_ppm_decode_hand_built_and_roundtrip():
+    # hand-built 2x2 P6 with a header comment: known pixel values
+    raw = b"P6\n# test comment\n2 2\n255\n" + bytes(
+        [255, 0, 0,  0, 255, 0,
+         0, 0, 255,  10, 20, 30]
+    )
+    img = multimodal.decode_ppm(raw)
+    assert img.shape == (2, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 1].tolist() == [10, 20, 30]
+    # encoder/decoder inverse on an uneven-size image
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(multimodal.decode_ppm(multimodal.encode_ppm(src)), src)
+    # magic-byte dispatch: decode_image real-decodes without fake=True
+    assert np.array_equal(multimodal.decode_image(multimodal.encode_ppm(src)), src)
+
+
+def test_bmp_decode_hand_built_and_roundtrip():
+    # 3-wide rows need 1 padding byte (stride 12 -> 9+3); bottom-up BGR
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    raw = multimodal.encode_bmp(src)
+    assert raw[:2] == b"BM"
+    assert int.from_bytes(raw[28:30], "little") == 24
+    img = multimodal.decode_bmp(raw)
+    assert np.array_equal(img, src)
+    assert np.array_equal(multimodal.decode_image(raw), src)
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"BM" + b"\0" * 60)  # bpp 0: unsupported
+
+
+def test_real_decode_feature_extraction(spark):
+    """End-to-end over the media table's REAL PPM payloads: features from
+    the actual decoded pixels (fake=False), deterministic, correct dim."""
+    media = multimodal.generate_media(spark, n_rows=12)
+    imgs = media.where("kind = 'image'")
+    feats = multimodal.extract_image_features(imgs, fake=False).collect()
+    assert len(feats) == 4
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in feats)
+    # channel stats agree with a local numpy recompute of the same payloads
+    stats = {r["media_id"]: r for r in multimodal.media_channel_stats(imgs).collect()}
+    import math
+
+    def r4(x):  # half-away-from-zero, matching the operator and SQL ROUND
+        return math.floor(x * 1e4 + 0.5) / 1e4
+
+    for row in imgs.collect():
+        img = multimodal.decode_ppm(bytes(row["payload"])).astype(np.float64)
+        got = stats[row["media_id"]]
+        assert got["n_pixels"] == img.shape[0] * img.shape[1]
+        assert abs(got["mean_r"] - r4(float(img[:, :, 0].mean()))) < 1e-9
+        assert abs(got["std_luma"] - r4(float(img.mean(axis=2).std()))) < 1e-9
