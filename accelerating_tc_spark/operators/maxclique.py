@@ -112,6 +112,33 @@ def maximal_clique_count(edges_raw: DataFrame) -> DataFrame:
     )
 
 
+def save_cliques(cliques: DataFrame, path: str) -> None:
+    """Clique listing sink (reference mc.cpp:53 `mc.save_answers(argv[2])`,
+    format per bitpack_maximal_clique.cpp:318-330): one clique per line,
+    space-separated member ids, members ascending. Distributed text write
+    — no driver collect; lines are sorted within each partition so a given
+    partitioning yields a deterministic file set."""
+    (
+        cliques.select(
+            F.concat_ws(
+                " ", F.transform(F.sort_array("clique"), lambda c: c.cast("string"))
+            ).alias("line")
+        )
+        .sortWithinPartitions("line")
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def load_cliques(spark, path: str) -> DataFrame:
+    """Inverse of save_cliques: (clique array<long>) rows."""
+    return spark.read.text(path).select(
+        F.transform(F.split(F.trim("value"), " "), lambda c: c.cast("long")).alias(
+            "clique"
+        )
+    )
+
+
 def maximal_clique_oracle_sql(edges_cte: str) -> str:
     """DuckDB recursive oracle: enumerate ALL cliques (each once, as a
     sorted member list grown through a neighbor of its max vertex — the

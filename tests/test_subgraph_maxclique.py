@@ -173,3 +173,15 @@ def test_subgraph_match_counts_from_file(spark, tmp_path):
     assert out[0] == 4
     # labeled edge (0,1): ordered (even, odd) adjacent pairs: 2*2 = 4
     assert out[1] == 4
+
+
+def test_save_load_cliques_roundtrip(spark, tmp_path):
+    """File sink parity with the reference listing format (mc.cpp:53):
+    one clique per line, ascending space-separated members."""
+    edges, pairs = synthetic.tiny_graph(spark, "two_triangles")
+    out = str(tmp_path / "mc_out")
+    cliques = maxclique.maximal_cliques(edges)
+    maxclique.save_cliques(cliques, out)
+    back = {tuple(r["clique"]) for r in maxclique.load_cliques(spark, out).collect()}
+    want = {tuple(sorted(r["clique"])) for r in cliques.collect()}
+    assert back == want and len(back) > 0
