@@ -126,26 +126,65 @@ class CsrShard:
 
 
 def intersect_count_csr(shard: CsrShard, u_keys: np.ndarray, v_keys: np.ndarray) -> np.ndarray:
-    """|N(u_i) ∩ N(v_i)| for every edge i, via one encoded intersect1d.
+    """|N(u_i) ∩ N(v_i)| for every edge i — probe-the-smaller-side kernel.
 
-    Both neighbor streams are gathered with CsrShard.gather (no per-edge
-    Python), encoded as edge_id * stride + value, and intersected in a single
-    numpy call — the batch analog of the reference's warp merge kernel.
+    The r1-r4 kernel gathered BOTH per-edge neighbor streams (volume
+    Σ_e deg(u)+deg(v) — the full wedge workload) and fed one giant encoded
+    intersect1d, whose internal sort was measured as the single largest
+    term of the whole blocked TC job (BENCH.md §7). This kernel is the
+    vectorized analog of the reference's binary-search path
+    (Hu/tc.cu:69-201, intersection_algos.cpp:88-148) instead:
+
+    - the TABLE is the shard's own flat array encoded once as
+      ``row_index * stride + value`` (size |adj shard|, NOT the wedge
+      volume; strictly increasing because gather emits rows in index order
+      and each adjacency list is sort_array-sorted upstream);
+    - each edge gathers only its SMALLER adjacency (volume Σ_e min(du,dv),
+      the merge lower bound) and probes it into the table with one
+      np.searchsorted, restricted to the larger side's row by the same
+      encoding.
+
+    Memory traffic drops from 2·Σ(du+dv) gathered + sorted to
+    Σ min(du,dv) gathered + a binary search into a table small enough to
+    stay cache-resident. No per-edge Python anywhere.
     """
     n = len(u_keys)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
-    flat_a, rows_a, lens_a = shard.gather(shard.rows_of(u_keys))
-    flat_b, rows_b, lens_b = shard.gather(shard.rows_of(v_keys))
-    if flat_a.size == 0 or flat_b.size == 0:
+    n_rows = len(shard.vertices)
+    if n_rows == 0 or shard.flat.size == 0:
         return np.zeros(n, dtype=np.int64)
-    # shift to a non-negative base: intersections are invariant under a
-    # common offset, and negative ids would silently collide in the encoding
-    off = np.int64(min(flat_a.min(), flat_b.min()))
-    max_v = np.int64(max(flat_a.max(), flat_b.max())) - off + 1
-    if max_v > 0 and n > (np.iinfo(np.int64).max // max_v):
-        # encoding would overflow int64 (raw sparse ids x huge batch):
-        # per-edge fallback, still C-speed per row
+    rows_u = shard.rows_of(u_keys)
+    rows_v = shard.rows_of(v_keys)
+    safe_u = np.maximum(rows_u, 0)
+    safe_v = np.maximum(rows_v, 0)
+    du = np.where(rows_u >= 0, shard.ends[safe_u] - shard.starts[safe_u], 0)
+    dv = np.where(rows_v >= 0, shard.ends[safe_v] - shard.starts[safe_v], 0)
+    u_smaller = du <= dv
+    probe_rows = np.where(u_smaller, rows_u, rows_v)
+    table_rows = np.where(u_smaller, rows_v, rows_u)
+    # an edge with either side absent from the shard intersects nothing
+    both = (rows_u >= 0) & (rows_v >= 0)
+    probe_rows = np.where(both, probe_rows, -1)
+    # process edges in table-row order so consecutive probes binary-search
+    # the SAME (then the next) table region: the table exceeds cache at
+    # real shard sizes and random row order makes every probe pay DRAM
+    # latency — row-sorted probes measured 1.6x faster single-threaded,
+    # more under executor-thread memory contention. One argsort over the
+    # EDGES (not the probe stream) buys it.
+    edge_order = np.argsort(table_rows)
+    probe_rows = probe_rows[edge_order]
+    table_rows = table_rows[edge_order]
+
+    # table: whole shard in row order, encoded (row, value) -> one int64
+    t_flat, t_rows, _ = shard.gather(np.arange(n_rows, dtype=np.int64))
+    lo = np.int64(t_flat.min())
+    stride = np.int64(t_flat.max()) - lo + 1
+    if stride <= 0 or n_rows >= (np.iinfo(np.int64).max // max(int(stride), 1)):
+        # value span too wide to encode (raw sparse 64-bit ids): per-edge
+        # fallback, still C-speed per row
+        flat_a, _, lens_a = shard.gather(np.where(both, rows_u, -1))
+        flat_b, _, lens_b = shard.gather(np.where(both, rows_v, -1))
         a_splits = np.split(flat_a, np.cumsum(lens_a)[:-1])
         b_splits = np.split(flat_b, np.cumsum(lens_b)[:-1])
         return np.fromiter(
@@ -156,7 +195,19 @@ def intersect_count_csr(shard: CsrShard, u_keys: np.ndarray, v_keys: np.ndarray)
             dtype=np.int64,
             count=n,
         )
-    enc_a = rows_a * max_v + (flat_a - off)
-    enc_b = rows_b * max_v + (flat_b - off)
-    hits = np.intersect1d(enc_a, enc_b, assume_unique=True)
-    return np.bincount(hits // max_v, minlength=n).astype(np.int64)
+    enc_t = t_rows * stride + (t_flat - lo)
+    if not (enc_t.size < 2 or bool(np.all(enc_t[1:] >= enc_t[:-1]))):
+        # adjacency arrived unsorted (not produced by prep.adjacency):
+        # sort the table once — O(|adj| log |adj|), still far below the
+        # old per-edge-stream sort
+        enc_t = np.sort(enc_t)
+    # sentinel pad so searchsorted's idx==len never needs a clamp pass
+    enc_t = np.append(enc_t, np.iinfo(np.int64).max)
+
+    flat_p, edge_ids, _ = shard.gather(probe_rows)
+    if flat_p.size == 0:
+        return np.zeros(n, dtype=np.int64)
+    enc_p = table_rows[edge_ids] * stride + (flat_p - lo)
+    found = enc_t[np.searchsorted(enc_t, enc_p)] == enc_p
+    # edge_ids index the SORTED edge list; map back through edge_order
+    return np.bincount(edge_order[edge_ids[found]], minlength=n).astype(np.int64)

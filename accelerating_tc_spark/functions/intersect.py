@@ -43,13 +43,47 @@ def _concat_ragged(arrs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, row_ids, lens
 
 
+def _is_nondecreasing(x: np.ndarray) -> bool:
+    """O(n) monotonicity probe — ~1% of the cost of the sort it avoids."""
+    return x.size < 2 or bool(np.all(x[1:] >= x[:-1]))
+
+
+def encoded_intersect_counts(
+    enc_a: np.ndarray, rows_a: np.ndarray, enc_b: np.ndarray, rows_b: np.ndarray, n: int
+) -> np.ndarray:
+    """Per-row hit counts between two row-encoded value streams.
+
+    Fast path: when BOTH encoded streams are already globally sorted — true
+    by construction whenever row ids are emitted non-decreasing and each
+    row's values are sorted (sort_array adjacency), the invariant of every
+    caller in this repo — the O((A+B)·log(A+B)) sort hiding inside
+    np.intersect1d is pure waste; a searchsorted membership probe of the
+    smaller stream into the larger costs O(min·log max) with no allocation
+    of a sorted copy. On the blocked-TC wedge workload the sort is the
+    single largest term in the whole job (BENCH.md §7, r5), so this is a
+    kernel-level ~2-4x. Falls back to intersect1d when either stream
+    arrives unsorted (an O(n) probe decides)."""
+    if _is_nondecreasing(enc_a) and _is_nondecreasing(enc_b):
+        if enc_a.size <= enc_b.size:
+            probe, table, probe_rows = enc_a, enc_b, rows_a
+        else:
+            probe, table, probe_rows = enc_b, enc_a, rows_b
+        idx = np.searchsorted(table, probe)
+        idx_c = np.minimum(idx, table.size - 1)
+        found = table[idx_c] == probe
+        return np.bincount(probe_rows[found], minlength=n).astype(np.int64)
+    hits_a = np.isin(enc_a, enc_b, assume_unique=True)
+    return np.bincount(rows_a[hits_a], minlength=n).astype(np.int64)
+
+
 def intersect_count_pairs(a_sets, b_sets) -> np.ndarray:
-    """Count |a ∩ b| for each pair in a batch, with ONE intersect1d call.
+    """Count |a ∩ b| for each pair in a batch, with ONE vectorized pass.
 
     Each side must be a sequence of sorted, distinct int arrays (adjacency
     sets). Values are encoded as ``row_id * stride + value`` so one global
-    sorted intersection resolves every row simultaneously — the whole Arrow
-    batch is processed by three numpy C calls, regardless of row count.
+    sorted membership probe resolves every row simultaneously — the whole
+    Arrow batch is processed by a handful of numpy C calls, regardless of
+    row count (see encoded_intersect_counts for the sorted fast path).
     """
     n = len(a_sets)
     if n == 0:
@@ -72,8 +106,7 @@ def intersect_count_pairs(a_sets, b_sets) -> np.ndarray:
         )
     enc_a = rows_a * max_v + (flat_a - off)
     enc_b = rows_b * max_v + (flat_b - off)
-    hits = np.intersect1d(enc_a, enc_b, assume_unique=True)
-    return np.bincount(hits // max_v, minlength=n).astype(np.int64)
+    return encoded_intersect_counts(enc_a, rows_a, enc_b, rows_b, n)
 
 
 def intersect_count_galloping(a: np.ndarray, b: np.ndarray) -> int:
