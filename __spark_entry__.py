@@ -28,6 +28,7 @@ if str(_REPO) not in sys.path:
 from accelerating_tc_spark.operators import (  # noqa: E402
     components,
     dedup,
+    hits,
     kclique,
     kcore,
     labelprop,
@@ -140,6 +141,36 @@ def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labelprop.label_propagation(
         spark, _canonical(spark, sf_dir), n_iterations=5
     ).orderBy("vertex")
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = hits.hits(spark, _canonical(spark, sf_dir), n_iterations=10)
+    return h.select(
+        "vertex", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+    ).orderBy("vertex")
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup of the synthetic crawl's page links (webtext
+    front end): DuckDB re-derives the same distinct directed page pairs
+    analytically from the corpus's arithmetic link rules, so the whole
+    parse -> resolve -> normalize -> host-aggregate path is hash-checked."""
+    from accelerating_tc_spark.sources import pages as P
+
+    corpus = P.generate_pages_distributed(spark, n_sites=10, pages_per_site=10)
+    links = P.extract_links(corpus)
+    return P.host_graph(links).orderBy("src_host", "dst_host")
+
+
+def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target page (webtext training-data
+    signal): the synthetic corpus's anchors are literal strings attached
+    to arithmetic link rules, so DuckDB re-derives the exact
+    (dst_url, anchor, n_refs, n_src_pages) table analytically."""
+    from accelerating_tc_spark.sources import pages as P
+
+    corpus = P.generate_pages_distributed(spark, n_sites=10, pages_per_site=10)
+    return P.anchor_texts(P.extract_anchors(corpus)).orderBy("dst_url", "anchor")
 
 
 def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": _q_out_degrees,
         "edge_count": _q_edge_count,
         "pagerank": _q_pagerank,
+        "hits": _q_hits,
         "connected_components": _q_components,
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
@@ -590,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_workload_total": _q_edge_workload,
         "bsr_compression": _q_bsr_compression,
         "web_edges": _q_web_edges,
+        "host_graph": _q_host_graph,
+        "anchor_texts": _q_anchor_texts,
         # --- training-data pipeline ops (documents / embeddings / events) ---
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
@@ -743,6 +777,7 @@ SELECT COUNT(*)::BIGINT AS n_edges, MAX(GREATEST(src, dst))::BIGINT AS max_verte
 FROM edges
 """,
         "pagerank": pagerank.pagerank_oracle_sql(_EDGES_CTE, n_iterations=10),
+        "hits": hits.hits_oracle_sql(_EDGES_CTE, n_iterations=10),
         "connected_components": components.components_oracle_sql(_EDGES_CTE),
         "label_propagation": labelprop.label_propagation_oracle_sql(_EDGES_CTE, n_iterations=5),
         # core_numbers: the h-index fixpoint is idempotent, so an unrolled
@@ -889,6 +924,48 @@ JOIN urls a ON a.url = lnk.src_url
 JOIN urls b ON b.url = lnk.dst_url
 WHERE a.vid <> b.vid
 ORDER BY src, dst
+""",
+        # host_graph: same analytic corpus as web_edges; hosts derive
+        # straight from the site index, so only distinct DIRECTED page
+        # pairs (self-links dropped) are rolled up per host pair
+        "host_graph": """
+WITH pages AS (
+  SELECT s.range AS s, p.range AS p FROM range(10) s, range(10) p
+),
+raw_links AS (
+  SELECT s AS s1, p AS p1, s AS s2, (p+1) % 10 AS p2 FROM pages
+  UNION ALL SELECT s, p, s, 0 FROM pages
+  UNION ALL SELECT s, p, (s+1) % 10, 0 FROM pages
+  UNION ALL SELECT s, p, s, (s*7 + p*3) % 10 FROM pages WHERE (s*31 + p) % 10 < 3
+),
+dl AS (
+  SELECT DISTINCT s1, p1, s2, p2 FROM raw_links WHERE NOT (s1 = s2 AND p1 = p2)
+)
+SELECT format('site{}.example', s1) AS src_host,
+       format('site{}.example', s2) AS dst_host,
+       COUNT(*)::BIGINT AS n_links
+FROM dl GROUP BY s1, s2 ORDER BY src_host, dst_host
+""",
+        # anchor_texts: the corpus attaches a literal anchor string to each
+        # arithmetic link rule ('next'/'next again'/'root'/'cross'/'rand';
+        # 'frag' and 'self' rules normalize to self-links and drop)
+        "anchor_texts": """
+WITH pages AS (
+  SELECT s.range AS s, p.range AS p FROM range(10) s, range(10) p
+),
+al AS (
+  SELECT s AS s1, p AS p1, s AS s2, (p+1) % 10 AS p2, 'next' AS anchor FROM pages
+  UNION ALL SELECT s, p, s, (p+1) % 10, 'next again' FROM pages
+  UNION ALL SELECT s, p, s, 0, 'root' FROM pages
+  UNION ALL SELECT s, p, (s+1) % 10, 0, 'cross' FROM pages
+  UNION ALL SELECT s, p, s, (s*7 + p*3) % 10, 'rand' FROM pages WHERE (s*31 + p) % 10 < 3
+),
+fl AS (SELECT * FROM al WHERE NOT (s1 = s2 AND p1 = p2))
+SELECT format('http://site{}.example/p{}', s2, p2) AS dst_url,
+       anchor,
+       COUNT(*)::BIGINT AS n_refs,
+       COUNT(DISTINCT s1 * 100 + p1)::BIGINT AS n_src_pages
+FROM fl GROUP BY dst_url, anchor ORDER BY dst_url, anchor
 """,
         "doc_stats": _TOKS_CTE
         + """

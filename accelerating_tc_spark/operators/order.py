@@ -20,7 +20,7 @@ Reference parity (SURVEY.md G4/O5/A11):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.ranking import dense_rank_ids
@@ -255,6 +255,122 @@ def bfs_order(
         )
         sym.unpersist()
         return out
+
+
+# A-order v1 measured-bandwidth model (vertex_ordering/A-order/A-order.cpp:20-36):
+# per-adjacency-length effective bandwidth, measured by the reference authors
+# on their hardware; kept verbatim as the default cost model, overridable.
+_BW_TABLE = [0.0, 0.0, 271.0, 310.0, 399.0, 419.0, 458.0, 478.0, 524.0, 539.0]
+_LAMBDA_TABLE = [0.0, 0.0, 145.51, 121.98, 53.26, 23.92, 16.0, 14.0, 12.94, 10.24]
+
+
+def _bandwidth_cols(deg: Column) -> tuple[Column, Column]:
+    """(bandwidth, equal_bandwidth) JVM expressions of a degree column —
+    the reference's getBandwidth/getEqualBandWidth lookup + power-law tail."""
+    bw_small = F.element_at(F.lit(_BW_TABLE), (deg + 1).cast("int"))
+    bw = F.when(deg < 10, bw_small).otherwise(
+        384.1 * F.pow(deg.cast("double"), F.lit(0.1491))
+    )
+    lam_small = F.element_at(F.lit(_LAMBDA_TABLE), (deg + 1).cast("int"))
+    lam = F.when(deg < 10, lam_small).otherwise(F.lit(12.0))
+    eq_bw = lam * F.sqrt(bw) / F.sqrt(deg.cast("double"))
+    return bw, eq_bw
+
+
+def bandwidth_pack_relabel(
+    canonical: DataFrame, bucket_size: int = 40
+) -> tuple[DataFrame, DataFrame]:
+    """A-order v1: pack vertices into fixed-size buckets with balanced
+    memory-superiority cost (A-order.cpp:126-181, BUCKETSIZE=40).
+
+    The reference runs a per-node greedy heap (always drop the next node
+    into the currently cheapest unfinished bucket) — inherently sequential.
+    Spark-first re-expression: nodes of equal runtime degree carry an
+    IDENTICAL cost delta, so the greedy's choices only matter between
+    degree classes; processing slots in the reference's phase order
+    (memory-dominated degrees >=5 descending, then degrees 2-4) and
+    striding them round-robin across buckets yields per-bucket cost sums
+    within one node-delta of the heap greedy, with no driver loop. The
+    slot rank is computed by the distributed ranking kernel, the
+    slot->bucket->new_id map is pure JVM arithmetic. Degree<=1 vertices go
+    to the back, degree-desc, exactly as the reference appends bucket[1]
+    then bucket[0].
+
+    Returns (relabeled_edges, mapping(vertex, new_id, bucket, degree));
+    bucket is -1 for the unbucketed degree<=1 tail, degree is the oriented
+    runtime degree the cost model prices. Quality is judged by
+    `compression_ratio` / `bucket_costs`, not output parity (the reference
+    emits one of many equally-costed optima).
+    """
+    oriented = prep.orient_by_degree(canonical)
+    rt_deg = oriented.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # vertices never on the oriented src side have runtime degree 0
+    all_verts = prep.degrees(canonical).select("vertex")
+    deg = all_verts.join(rt_deg, "vertex", "left").select(
+        "vertex", F.coalesce("degree", F.lit(0)).alias("degree")
+    )
+    body = deg.where(F.col("degree") >= 2)
+    tail = deg.where(F.col("degree") <= 1)
+    # phase 1 slots first (degree>=5 desc), then phase 2 (degrees 2-4 asc —
+    # the reference walks id_rtDegree upward from twoDegreeNodePos)
+    phase = F.when(F.col("degree") >= 5, F.lit(0)).otherwise(F.lit(1))
+    slot_order = [
+        F.asc("phase"),
+        F.when(F.col("phase") == 0, -F.col("degree")).otherwise(F.col("degree")).asc(),
+        F.asc("vertex"),
+    ]
+    slotted = dense_rank_ids(
+        body.withColumn("phase", phase), slot_order, id_col="slot"
+    )
+    n_eff = slotted.count()
+    n_buckets = max(int(n_eff // bucket_size), 1)
+    q, rem = divmod(int(n_eff), n_buckets)
+    s = F.col("slot")
+    bucket = (s % n_buckets).cast("long")
+    intra = (s / n_buckets).cast("long")
+    # bucket b holds q (+1 if b < rem) slots; new ids are bucket-contiguous
+    new_id = bucket * q + F.least(bucket, F.lit(rem)) + intra
+    body_map = slotted.select(
+        "vertex", "degree", new_id.alias("new_id"), bucket.alias("bucket")
+    )
+    tail_ranked = dense_rank_ids(
+        tail, [F.desc("degree"), F.asc("vertex")], id_col="r"
+    )
+    tail_map = tail_ranked.select(
+        "vertex",
+        "degree",
+        (F.col("r") + n_eff).alias("new_id"),
+        F.lit(-1).cast("long").alias("bucket"),
+    )
+    mapping = body_map.unionByName(tail_map)
+    relabeled = (
+        canonical.join(
+            mapping.select(F.col("vertex").alias("src"), F.col("new_id").alias("ns")),
+            "src",
+        )
+        .join(
+            mapping.select(F.col("vertex").alias("dst"), F.col("new_id").alias("nd")),
+            "dst",
+        )
+        .select(F.least("ns", "nd").alias("src"), F.greatest("ns", "nd").alias("dst"))
+    )
+    return relabeled, mapping.select("vertex", "new_id", "bucket", "degree")
+
+
+def bucket_costs(mapping_with_degree: DataFrame) -> DataFrame:
+    """Per-bucket memory-superiority sums for a bandwidth_pack_relabel
+    mapping (vertex, new_id, bucket, degree) — the quantity the
+    reference's greedy balances. One row per bucket: (bucket, n_vertices,
+    cost); the packing is good when max(cost)-min(cost) is ~one node delta."""
+    bw, eq_bw = _bandwidth_cols(F.col("degree"))
+    delta = F.when(F.col("degree") >= 2, bw - eq_bw).otherwise(F.lit(0.0))
+    return (
+        mapping_with_degree.where(F.col("bucket") >= 0)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vertices"), F.sum(delta).alias("cost"))
+    )
 
 
 def compression_ratio(canonical: DataFrame, mapping: DataFrame | None = None) -> DataFrame:

@@ -101,6 +101,13 @@ def _resolve(base: str, href: str) -> str | None:
 
 
 _LINKS_SCHEMA = "src_url string, dst_url string"
+_ANCHOR_SCHEMA = "src_url string, dst_url string, anchor string"
+# href + the anchor's inner text up to the closing tag (nested markup
+# inside <a> is stripped afterwards; unclosed anchors yield no row)
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*(?:["']([^"'<>]+)["']|([^\s"'<>`]+))[^>]*>(.*?)</a\s*>""",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _resolve_series(src: pd.Series, href: pd.Series) -> pd.Series:
@@ -155,6 +162,20 @@ def _resolve_series(src: pd.Series, href: pd.Series) -> pd.Series:
     return out
 
 
+def _effective_bases(urls: pd.Series, html: pd.Series) -> pd.Series:
+    """Per-page resolution base: first <base href> (itself resolved against
+    the page URL when relative), else the page URL."""
+    bx = html.str.extract(_BASE_RE)
+    base_href = bx[0].where(bx[0].notna(), bx[1])
+    base_href = base_href.where(base_href.notna() & (base_href != ""), None)
+    eff_base = urls.copy()
+    has_base = base_href.notna()
+    if has_base.any():
+        rb = _resolve_series(urls[has_base], base_href[has_base].astype(object))
+        eff_base.loc[has_base] = rb.where(rb.notna(), urls[has_base])
+    return eff_base
+
+
 def extract_links(pages: DataFrame) -> DataFrame:
     """(src_url, dst_url) per hyperlink — vectorized href scan (quoted AND
     unquoted attribute forms) + vectorized URL resolution over Arrow
@@ -171,18 +192,7 @@ def extract_links(pages: DataFrame) -> DataFrame:
                 lambda b: b.decode("utf-8", "replace") if b is not None else ""
             )
             urls = pdf["url"].astype(object)
-            # effective per-page resolution base: first <base href>,
-            # resolved against the page URL when relative, else the page
-            bx = html.str.extract(_BASE_RE)
-            base_href = bx[0].where(bx[0].notna(), bx[1])
-            base_href = base_href.where(base_href.notna() & (base_href != ""), None)
-            eff_base = urls.copy()
-            has_base = base_href.notna()
-            if has_base.any():
-                rb = _resolve_series(
-                    urls[has_base], base_href[has_base].astype(object)
-                )
-                eff_base.loc[has_base] = rb.where(rb.notna(), urls[has_base])
+            eff_base = _effective_bases(urls, html)
             ex = pd.DataFrame(
                 {
                     "src_url": urls.to_numpy(),
@@ -204,6 +214,66 @@ def extract_links(pages: DataFrame) -> DataFrame:
     return links.select(
         normalize_url("src_url").alias("src_url"), normalize_url("dst_url").alias("dst_url")
     ).where(F.col("src_url") != F.col("dst_url"))
+
+
+def extract_anchors(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, anchor) per CLOSED hyperlink — the anchor text is
+    the tag's inner markup with nested tags stripped and whitespace
+    collapsed. Anchor text is the classic link-graph relevance signal for
+    training-data pipelines: what OTHER pages call a document. Same
+    vectorized Arrow-batch shape and <base href> semantics as
+    `extract_links`; self-links drop after normalization, empty anchors
+    become ''."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            html = pdf["html"].apply(
+                lambda b: b.decode("utf-8", "replace") if b is not None else ""
+            )
+            urls = pdf["url"].astype(object)
+            eff_base = _effective_bases(urls, html)
+            ex = pd.DataFrame(
+                {
+                    "src_url": urls.to_numpy(),
+                    "base_url": eff_base.to_numpy(),
+                    "hit": html.str.findall(_ANCHOR_RE),
+                }
+            ).explode("hit")
+            ex = ex[ex["hit"].notna()]
+            if len(ex):
+                ex = ex.reset_index(drop=True)
+                ex["href"] = ex["hit"].map(lambda t: t[0] if t[0] else t[1])
+                anchor = ex["hit"].map(lambda t: t[2]).astype(str)
+                anchor = anchor.str.replace(_TAG_RE, " ", regex=True)
+                anchor = anchor.str.replace(_WS_RE, " ", regex=True).str.strip()
+                ex["anchor"] = anchor
+                ex["dst_url"] = _resolve_series(ex["base_url"], ex["href"])
+            else:
+                ex["dst_url"] = pd.Series([], dtype=object)
+                ex["anchor"] = pd.Series([], dtype=object)
+            yield ex[ex["dst_url"].notna()][["src_url", "dst_url", "anchor"]]
+
+    anchors = pages.select("url", "html").mapInPandas(scan, schema=_ANCHOR_SCHEMA)
+    return anchors.select(
+        normalize_url("src_url").alias("src_url"),
+        normalize_url("dst_url").alias("dst_url"),
+        "anchor",
+    ).where(F.col("src_url") != F.col("dst_url"))
+
+
+def anchor_texts(anchors: DataFrame) -> DataFrame:
+    """Aggregate anchors per TARGET page: (dst_url, anchor, n_refs,
+    n_src_pages) — how often each distinct anchor string points at the
+    page and from how many distinct source pages. One groupBy shuffle with
+    map-side partial aggregation; distinct-source counting rides the same
+    shuffle via count_distinct. At corpus scale this is the standard
+    anchor-text table joined onto documents as a quality/relevance
+    feature."""
+    return anchors.groupBy("dst_url", "anchor").agg(
+        F.count(F.lit(1)).alias("n_refs"),
+        F.count_distinct("src_url").alias("n_src_pages"),
+    )
 
 
 # ---------------------------------------------------------------- text
@@ -270,6 +340,32 @@ def pages_to_edges(pages: DataFrame) -> tuple[DataFrame, DataFrame]:
         .distinct()
     )
     return edges, mapping
+
+
+def host_of(col: Column | str) -> Column:
+    """Host part of a normalized URL, as a JVM expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1)
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Host-level link graph: (src_host, dst_host, n_links) where n_links
+    counts DISTINCT page-level directed links between the two hosts
+    (intra-host rows included — a downstream site-graph consumer filters
+    them if it wants the cross-host view).
+
+    Scale shape: one shuffle for the page-pair distinct (unavoidable —
+    dedup is the semantics), then the host groupBy collapses ~pages² keys
+    to ~hosts² with map-side partial aggregation. No driver funnels."""
+    pairs = (
+        links.select("src_url", "dst_url")
+        .where(F.col("src_url") != F.col("dst_url"))
+        .distinct()
+    )
+    return pairs.select(
+        host_of("src_url").alias("src_host"),
+        host_of("dst_url").alias("dst_host"),
+    ).groupBy("src_host", "dst_host").agg(F.count(F.lit(1)).alias("n_links"))
 
 
 # ------------------------------------------------- synthetic corpus

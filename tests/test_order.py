@@ -131,3 +131,61 @@ def test_slashburn_deep_rounds_terminates(spark):
     assert len(rows) == n_v
     assert len({r["new_id"] for r in rows}) == n_v
     assert {r["new_id"] for r in rows} == set(range(n_v))
+
+
+def test_bandwidth_pack_bijective_balanced(spark):
+    edges = synthetic.powerlaw_edges(spark, n_vertices=300, n_edges=1500, seed=9)
+    canonical = prep.canonicalize_edges(edges)
+    relabeled, mapping = order.bandwidth_pack_relabel(canonical, bucket_size=10)
+    rows = mapping.collect()
+    n = len(rows)
+    assert sorted(r["new_id"] for r in rows) == list(range(n))  # bijective
+    # degree<=1 tail sits at the BACK with bucket -1
+    tail = [r for r in rows if r["bucket"] == -1]
+    body = [r for r in rows if r["bucket"] >= 0]
+    assert all(r["degree"] <= 1 for r in tail)
+    assert all(r["degree"] >= 2 for r in body)
+    if tail and body:
+        assert min(r["new_id"] for r in tail) > max(r["new_id"] for r in body)
+    # buckets are contiguous new-id ranges of near-equal size
+    by_bucket: dict[int, list[int]] = {}
+    for r in body:
+        by_bucket.setdefault(r["bucket"], []).append(r["new_id"])
+    sizes = {len(v) for v in by_bucket.values()}
+    assert max(sizes) - min(sizes) <= 1
+    for ids in by_bucket.values():
+        ids.sort()
+        assert ids == list(range(ids[0], ids[0] + len(ids)))
+    # cost balance: for a piecewise-monotone per-slot cost the strided
+    # packing's per-bucket spread is bounded by the full node-delta range
+    # (per-segment total variation telescopes); a contiguous degree-sorted
+    # packing concentrates whole classes per bucket and does far worse
+    costs = {r["bucket"]: r["cost"] for r in order.bucket_costs(mapping).collect()}
+    import math
+
+    def node_delta(d):
+        bw = 384.1 * d**0.1491 if d >= 10 else [0, 0, 271, 310, 399, 419, 458, 478, 524, 539][d]
+        lam = 12.0 if d >= 10 else [0, 0, 145.51, 121.98, 53.26, 23.92, 16, 14, 12.94, 10.24][d]
+        return bw - lam * math.sqrt(bw) / math.sqrt(d)
+
+    deltas = [node_delta(r["degree"]) for r in body]
+    spread = max(costs.values()) - min(costs.values())
+    assert spread <= (max(deltas) - min(deltas)) + 1e-6
+    # contiguous comparison packing: same slot order, buckets cut in blocks
+    n_b = len(by_bucket)
+    ordered = sorted(
+        body,
+        key=lambda r: (
+            0 if r["degree"] >= 5 else 1,
+            -r["degree"] if r["degree"] >= 5 else r["degree"],
+            r["vertex"],
+        ),
+    )
+    block = [0.0] * n_b
+    for i, r in enumerate(ordered):
+        block[min(i * n_b // len(ordered), n_b - 1)] += node_delta(r["degree"])
+    assert spread < (max(block) - min(block))
+    # graph structure preserved through the relabel
+    orig = synthetic.numpy_triangle_count([(x["src"], x["dst"]) for x in canonical.collect()])
+    new = synthetic.numpy_triangle_count([(x["src"], x["dst"]) for x in relabeled.collect()])
+    assert orig == new

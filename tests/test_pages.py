@@ -180,3 +180,47 @@ def test_unquoted_hrefs_and_base_override(spark):
         ("http://q.example/p", "http://unq.example/d/y"),
     }
     assert got == expected
+
+
+def test_extract_anchors_inner_text_and_host_rollup(spark):
+    """Anchor text extraction: nested markup stripped, whitespace
+    collapsed, empty anchors kept as '', unclosed anchors skipped,
+    self-links dropped; anchor_texts aggregates refs + distinct sources."""
+    rows = [
+        ("http://a.example/p1",
+         b'<html><a href="/p2">  go <b>HERE</b>\n now </a>'
+         b'<a href="/p2"></a>'
+         b'<a href="/p1">self</a>'
+         b'<a href="/p3">unclosed</html>'),
+        ("http://a.example/p2", b'<html><a href="/p2#x">frag-self</a>'
+                                b'<a href="http://b.example/q">cross site</a></html>'),
+        ("http://a.example/p3", b'<html><a href=/p2>go here now</a></html>'),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "url": [r[0] for r in rows],
+            "warc_ts": pd.Timestamp("2026-01-01"),
+            "html": [r[1] for r in rows],
+            "text": "",
+            "lang": "en",
+        }
+    )
+    pages = spark.createDataFrame(
+        pdf, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    anchors = P.extract_anchors(pages)
+    got = {(r["src_url"], r["dst_url"], r["anchor"]) for r in anchors.collect()}
+    assert got == {
+        ("http://a.example/p1", "http://a.example/p2", "go HERE now"),
+        ("http://a.example/p1", "http://a.example/p2", ""),
+        ("http://a.example/p2", "http://b.example/q", "cross site"),
+        ("http://a.example/p3", "http://a.example/p2", "go here now"),
+    }
+    agg = {
+        (r["dst_url"], r["anchor"]): (r["n_refs"], r["n_src_pages"])
+        for r in P.anchor_texts(anchors).collect()
+    }
+    assert agg[("http://a.example/p2", "")] == (1, 1)
+    assert agg[("http://a.example/p2", "go HERE now")] == (1, 1)
+    assert agg[("http://a.example/p2", "go here now")] == (1, 1)
+    assert agg[("http://b.example/q", "cross site")] == (1, 1)
