@@ -138,6 +138,35 @@ def main() -> int:
         f"{p.count('Exchange hashpartitioning')} exchange(s); k partial_min aggregates combine map-side",
     )
 
+    # 6. anchor-text aggregation: one shuffle, JVM-side past the extraction
+    from accelerating_tc_spark.sources import pages as pages_src
+
+    corpus = pages_src.generate_pages_distributed(spark, n_sites=5, pages_per_site=5)
+    agg = pages_src.anchor_texts(pages_src.extract_anchors(corpus))
+    p = plan_of(agg)
+    # count_distinct compiles to Catalyst's two-phase distinct plan: one
+    # exchange on (dst,anchor,src) then one on (dst,anchor), both fed by
+    # map-side partial aggregates — the right shape at corpus scale
+    check(
+        "anchor_texts aggregates in two partial-agg shuffles; Python only in the extraction scan",
+        p.count("Exchange hashpartitioning") <= 2
+        and p.count("MapInPandas") == 1
+        and "partial_count" in p,
+        f"{p.count('Exchange hashpartitioning')} exchange(s); extraction is the only Python stage",
+    )
+
+    # 7. HITS: state is a lineage-cut scan; the round's L2 normalizer is a
+    # broadcast of a 1-row aggregate, never a driver collect
+    from accelerating_tc_spark.operators import hits as hits_op
+
+    h = hits_op.hits(spark, canonical, n_iterations=2)
+    p = plan_of(h)
+    check(
+        "HITS output plan is a lineage-cut scan (no per-round join tree)",
+        "Scan ExistingRDD" in p and "Join" not in p,
+        "rounds collapse to checkpoint scans like PageRank",
+    )
+
     spark.stop()
     failed = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failed)}/{len(CHECKS)} plan properties hold")
