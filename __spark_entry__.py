@@ -173,6 +173,10 @@ def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.anchor_texts(P.extract_anchors(corpus)).orderBy("dst_url", "anchor")
 
 
+def _q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prep.graph_stats(_canonical(spark, sf_dir))
+
+
 def _q_core_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore.core_numbers(spark, _canonical(spark, sf_dir)).orderBy("vertex")
 
@@ -603,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tc_blocked": _q_tc("blocked"),
         "tc_blocked_skewed": _q_tc_blocked_skewed,
         "degree_histogram": _q_degree_histogram,
+        "graph_stats": _q_graph_stats,
         "out_degrees": _q_out_degrees,
         "edge_count": _q_edge_count,
         "pagerank": _q_pagerank,
@@ -775,6 +780,22 @@ FROM oriented GROUP BY src ORDER BY vertex
         + """
 SELECT COUNT(*)::BIGINT AS n_edges, MAX(GREATEST(src, dst))::BIGINT AS max_vertex
 FROM edges
+""",
+        "graph_stats": _EDGES_DEG_CTE
+        + """
+, wd AS (
+  SELECT ds.degree AS da, dd.degree AS db
+  FROM edges e
+  JOIN degs ds ON ds.vertex = e.src
+  JOIN degs dd ON dd.vertex = e.dst
+)
+, sym AS (SELECT da, db FROM wd UNION ALL SELECT db, da FROM wd)
+SELECT (SELECT COUNT(*) FROM degs)::BIGINT AS n_vertices,
+       (SELECT COUNT(*) FROM edges)::BIGINT AS n_edges,
+       (SELECT MAX(degree) FROM degs)::BIGINT AS max_degree,
+       (SELECT ROUND(AVG(degree), 6) FROM degs) AS avg_degree,
+       ROUND(CORR(da, db), 6) AS assortativity
+FROM sym
 """,
         "pagerank": pagerank.pagerank_oracle_sql(_EDGES_CTE, n_iterations=10),
         "hits": hits.hits_oracle_sql(_EDGES_CTE, n_iterations=10),

@@ -170,6 +170,36 @@ def degree_histogram(canonical: DataFrame) -> DataFrame:
     return degrees(canonical).groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+def graph_stats(canonical: DataFrame) -> DataFrame:
+    """One-row global summary of the undirected graph: vertex/edge counts,
+    degree extremes/mean, and degree ASSORTATIVITY — the Pearson
+    correlation between endpoint degrees over edges, with each undirected
+    edge contributing both (deg_u, deg_v) and (deg_v, deg_u) (Newman's
+    convention, public result PRL'02). All JVM expressions: two joins to
+    attach degrees, corr() in one partial+final aggregate — no driver math
+    beyond the final 1-row collect a caller does."""
+    deg = degrees(canonical)
+    with_deg = (
+        canonical.join(deg.select(F.col("vertex").alias("src"), F.col("degree").alias("ds")), "src")
+        .join(deg.select(F.col("vertex").alias("dst"), F.col("degree").alias("dd")), "dst")
+    )
+    sym = with_deg.select(F.col("ds").alias("da"), F.col("dd").alias("db")).unionAll(
+        with_deg.select(F.col("dd").alias("da"), F.col("ds").alias("db"))
+    )
+    per_edge = sym.agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
+    base = canonical.agg(F.count(F.lit(1)).alias("n_edges"))
+    vstats = deg.agg(
+        F.count(F.lit(1)).alias("n_vertices"),
+        F.max("degree").alias("max_degree"),
+        F.round(F.avg("degree"), 6).alias("avg_degree"),
+    )
+    return (
+        vstats.crossJoin(base)
+        .crossJoin(per_edge)
+        .select("n_vertices", "n_edges", "max_degree", "avg_degree", "assortativity")
+    )
+
+
 def orientation_balance_cost(oriented: DataFrame) -> DataFrame:
     """Skew metric: sum |outdeg - avg_outdeg| over vertices with out-edges
     (reference tools/verification.cpp:25-60). Single-row DataFrame."""

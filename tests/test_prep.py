@@ -66,3 +66,16 @@ def test_degree_rank_relabel(spark):
     m = {r["vertex"]: r["new_id"] for r in mapping.collect()}
     assert m[0] == 0  # highest degree gets rank 0
     assert relabeled.count() == 10
+
+
+def test_graph_stats_star_assortativity(spark):
+    # star K1,4: perfectly disassortative (r = -1); known counts
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4)], "src long, dst long"
+    )
+    row = prep.graph_stats(prep.canonicalize_edges(edges)).collect()[0]
+    assert row["n_vertices"] == 5
+    assert row["n_edges"] == 4
+    assert row["max_degree"] == 4
+    assert row["avg_degree"] == round(8 / 5, 6)
+    assert row["assortativity"] == -1.0
