@@ -137,6 +137,10 @@ def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.connected_components(spark, _canonical(spark, sf_dir)).orderBy("vertex")
 
 
+def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return components.component_sizes(spark, _canonical(spark, sf_dir)).orderBy("size")
+
+
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labelprop.label_propagation(
         spark, _canonical(spark, sf_dir), n_iterations=5
@@ -613,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "hits": _q_hits,
         "connected_components": _q_components,
+        "component_sizes": _q_component_sizes,
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
         "local_clustering": _q_local_clustering,
@@ -800,6 +805,7 @@ FROM sym
         "pagerank": pagerank.pagerank_oracle_sql(_EDGES_CTE, n_iterations=10),
         "hits": hits.hits_oracle_sql(_EDGES_CTE, n_iterations=10),
         "connected_components": components.components_oracle_sql(_EDGES_CTE),
+        "component_sizes": components.component_sizes_oracle_sql(_EDGES_CTE),
         "label_propagation": labelprop.label_propagation_oracle_sql(_EDGES_CTE, n_iterations=5),
         # core_numbers: the h-index fixpoint is idempotent, so an unrolled
         # SQL iteration with margin (24 rounds; the sf0.01 graph converges

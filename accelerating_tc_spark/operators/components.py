@@ -103,6 +103,35 @@ def connected_components(
     ).state
 
 
+def component_sizes(spark: SparkSession, canonical: DataFrame, **kwargs) -> DataFrame:
+    """(size, n_components) histogram of connected-component sizes — the
+    standard giant-component diagnostic for a web crawl. Composes the
+    pointer-jumping CC with two partial+final aggregates; the histogram
+    collapses to at most |V| rows before any driver action."""
+    cc = connected_components(spark, canonical, **kwargs)
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
+def component_sizes_oracle_sql(edges_cte: str) -> str:
+    """Histogram view of the recursive-CTE component oracle."""
+    return (
+        components_oracle_sql(edges_cte)
+        .replace(
+            "SELECT vertex, component FROM walk ORDER BY vertex",
+            """
+SELECT size, COUNT(*)::BIGINT AS n_components FROM (
+  SELECT component, COUNT(*)::BIGINT AS size FROM walk GROUP BY component
+) GROUP BY size ORDER BY size
+""",
+        )
+    )
+
+
 def components_oracle_sql(edges_cte: str) -> str:
     """Recursive-CTE oracle: component(v) = min vertex reachable from v.
 
