@@ -32,8 +32,16 @@ def get_spark(
     """
     cores = cores or default_parallelism()
     shuffle_partitions = shuffle_partitions or cores
+    # local[N, 4]: allow 4 task attempts, the DEFAULT on a real cluster
+    # (spark.task.maxFailures). Plain local[N] uses maxFailures=1, so one
+    # transient Python-worker crash aborts a whole multi-minute job — on the
+    # 24M-edge scaling fixture a single intermittent worker death (observed
+    # ~1 per hour of sustained Arrow-kernel load on this sandbox) cost an
+    # entire measurement session. A crashed task retries, same as production.
     builder = (
-        SparkSession.builder.master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]"))
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores},4]")
+        )
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
@@ -42,6 +50,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # A crashed Python worker (segfault/OOM-kill) otherwise dies
+        # silently; with faulthandler the executor log carries the native
+        # traceback — required to diagnose intermittent kernel crashes.
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

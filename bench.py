@@ -392,7 +392,24 @@ def run_scaling() -> None:
                 ]
                 if _shutil.which("taskset"):
                     cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
-                out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+                # one retry per visit: a JVM-level transient (e.g. a crashed
+                # executor-thread JVM) must not abort the whole multi-hour
+                # protocol; the failure itself is recorded so the session
+                # ledger stays honest about what happened
+                for attempt in (1, 2):
+                    out = subprocess.run(cmd, capture_output=True, text=True)
+                    if out.returncode == 0:
+                        break
+                    sys.stderr.write(
+                        f"[scaling] visit cores={cores} attempt {attempt} failed "
+                        f"(rc={out.returncode}); stderr tail:\n"
+                        + "\n".join(out.stderr.splitlines()[-15:])
+                        + "\n"
+                    )
+                else:
+                    raise RuntimeError(
+                        f"scaling visit cores={cores} failed twice; see stderr above"
+                    )
                 visits[cores].append(json.loads(out.stdout.strip().splitlines()[-1]))
         tris = {r["triangles"] for vs in visits.values() for r in vs}
         best = {c: min(vs, key=lambda r: r["sec"]) for c, vs in visits.items()}
