@@ -180,21 +180,19 @@ def intersect_count_csr(shard: CsrShard, u_keys: np.ndarray, v_keys: np.ndarray)
     t_flat, t_rows, _ = shard.gather(np.arange(n_rows, dtype=np.int64))
     lo = np.int64(t_flat.min())
     stride = np.int64(t_flat.max()) - lo + 1
+    ranks = None
     if stride <= 0 or n_rows >= (np.iinfo(np.int64).max // max(int(stride), 1)):
-        # value span too wide to encode (raw sparse 64-bit ids): per-edge
-        # fallback, still C-speed per row
-        flat_a, _, lens_a = shard.gather(np.where(both, rows_u, -1))
-        flat_b, _, lens_b = shard.gather(np.where(both, rows_v, -1))
-        a_splits = np.split(flat_a, np.cumsum(lens_a)[:-1])
-        b_splits = np.split(flat_b, np.cumsum(lens_b)[:-1])
-        return np.fromiter(
-            (
-                np.intersect1d(a, b, assume_unique=True).size
-                for a, b in zip(a_splits, b_splits)
-            ),
-            dtype=np.int64,
-            count=n,
-        )
+        # value span too wide to row-encode directly (raw sparse 64-bit ids,
+        # e.g. xxhash64 vertex keys fed in without compact_ids): shard-local
+        # rank compression. One np.unique over the shard's flat values makes
+        # the effective stride |distinct values in shard| <= |adj shard|, so
+        # n_rows * stride <= |adj|^2 always fits int64 and the encoded fast
+        # path applies to ANY id space. Rank remap is monotone, so per-row
+        # sortedness (and hence enc_t monotonicity) is preserved.
+        ranks = np.unique(shard.flat)
+        t_flat = np.searchsorted(ranks, t_flat)
+        lo = np.int64(0)
+        stride = np.int64(len(ranks))
     enc_t = t_rows * stride + (t_flat - lo)
     if not (enc_t.size < 2 or bool(np.all(enc_t[1:] >= enc_t[:-1]))):
         # adjacency arrived unsorted (not produced by prep.adjacency):
@@ -207,6 +205,10 @@ def intersect_count_csr(shard: CsrShard, u_keys: np.ndarray, v_keys: np.ndarray)
     flat_p, edge_ids, _ = shard.gather(probe_rows)
     if flat_p.size == 0:
         return np.zeros(n, dtype=np.int64)
+    if ranks is not None:
+        # probe values are drawn from the same shard.flat, so every value is
+        # present in `ranks` and searchsorted is an exact rank lookup
+        flat_p = np.searchsorted(ranks, flat_p)
     enc_p = table_rows[edge_ids] * stride + (flat_p - lo)
     found = enc_t[np.searchsorted(enc_t, enc_p)] == enc_p
     # edge_ids index the SORTED edge list; map back through edge_order

@@ -58,3 +58,37 @@ def test_empty_shard():
     shard = CsrShard.from_lists([], [])
     got = intersect_count_csr(shard, np.array([1]), np.array([2]))
     assert got.tolist() == [0]
+
+
+def test_intersect_count_csr_sparse_64bit_ids():
+    """Raw sparse 64-bit ids (xxhash64-style, value span ~2^63) force the
+    rank-compression path; results must match the scalar oracle exactly."""
+    rng = np.random.default_rng(7)
+    n_vertices = 60
+    verts = np.sort(
+        rng.integers(-(2**62), 2**62, size=n_vertices, dtype=np.int64)
+    )
+    universe = rng.integers(-(2**62), 2**62, size=200, dtype=np.int64)
+    lists = [
+        np.sort(rng.choice(universe, size=int(rng.integers(0, 25)), replace=False)).astype(
+            np.int64
+        )
+        for _ in range(n_vertices)
+    ]
+    shard = CsrShard.from_lists(verts, lists)
+    by_vertex = dict(zip(verts.tolist(), lists))
+    u = rng.choice(verts, size=400)
+    v = rng.choice(verts, size=400)
+    got = intersect_count_csr(shard, u, v)
+    for i in range(400):
+        expected = len(np.intersect1d(by_vertex[int(u[i])], by_vertex[int(v[i])]))
+        assert got[i] == expected
+
+
+def test_sparse_id_stride_actually_overflows():
+    """Sanity: the fixture above genuinely exceeds the direct-encoding
+    budget (n_rows * span overflows int64), so the rank path is exercised."""
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-(2**62), 2**62, size=200, dtype=np.int64)
+    span = int(vals.max()) - int(vals.min()) + 1
+    assert 60 >= np.iinfo(np.int64).max // span

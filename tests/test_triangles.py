@@ -43,6 +43,23 @@ def test_hub_graph_all_strategies_agree(spark):
         assert got == expected
 
 
+def test_blocked_sparse_64bit_vertex_ids(spark):
+    """A user feeding raw xxhash64 vertex keys (value span ~2^64, no
+    compact_ids) must still get exact counts: the kernel's shard-local rank
+    compression keeps the encoded probe path applicable to any id space
+    (functions/csr.py)."""
+    from pyspark.sql import functions as F
+
+    pairs = synthetic.powerlaw_edge_pairs(250, 1400, seed=11)
+    expected = synthetic.numpy_triangle_count(pairs)
+    edges = synthetic.edges_df(spark, pairs.tolist()).select(
+        F.xxhash64(F.col("src").cast("string")).alias("src"),
+        F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+    )
+    got = _count(triangles.count_triangles(edges, strategy="blocked", n_blocks=3))
+    assert got == expected
+
+
 @pytest.mark.parametrize("hub_threshold", [2, 5, 20])
 def test_blocked_hub_route_parity(spark, hub_threshold):
     """Force the hub route on (low thresholds make MANY vertices hubs —
