@@ -65,45 +65,66 @@ def kclique_count(
         prep.orient_by_degree(canonical) if orient == "degree" else canonical
     ).cache()
     parallelism = edges_raw.sparkSession.sparkContext.defaultParallelism
-    # forward-degree per source: the exact per-embedding expansion cost
-    out_deg = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("_od")).cache()
+    # forward-degree per source: the exact per-embedding expansion cost.
+    # Carried on the DST side of every extension tuple so each embedding
+    # knows its own next-level fan-out — level i's single materializing
+    # action then yields level i+1's exact estimate as a byproduct, with no
+    # separate estimate join job between levels (r5 verdict task 5).
+    out_deg = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
+    ext_base = (
+        oriented.join(out_deg.withColumnRenamed("src", "dst"), "dst", "left")
+        .select("src", "dst", F.coalesce("_od", F.lit(0)).alias("_od"))
+        .cache()
+    )
 
-    emb = oriented.select(F.col("src").alias("v1"), F.col("dst").alias("v2"))
+    emb = ext_base.select(
+        F.col("src").alias("v1"), F.col("dst").alias("v2"), F.col("_od").alias("_odl")
+    )
+    if k == 2:
+        return emb.agg(F.count(F.lit(1)).cast("long").alias("cliques"))
+    # level-3 estimate: Σ out_degree(v2) over the (cached) edge table
+    est = int(ext_base.agg(F.sum("_od")).first()[0] or 0)
     for level in range(3, k + 1):
         last = f"v{level - 1}"
         new = f"v{level}"
-        # exact expansion-output estimate: Σ out_degree(last) over embeddings
-        est = (
-            emb.join(out_deg, emb[last] == out_deg["src"])
-            .agg(F.sum("_od"))
-            .first()[0]
-            or 0
+        n_tasks = _level_task_count(est, parallelism, rows_per_task, max_tasks)
+        prev = emb
+        emb = prev.drop("_odl").repartition(n_tasks, last)
+        # candidates: forward neighbors of the last member, each tagged with
+        # ITS forward degree (the next level's per-embedding expansion cost)
+        ext = ext_base.select(
+            F.col("src").alias(last), F.col("dst").alias(new), F.col("_od").alias("_odl")
         )
-        n_tasks = _level_task_count(int(est), parallelism, rows_per_task, max_tasks)
-        emb = emb.repartition(n_tasks, last)
-        # candidates: forward neighbors of the last member
-        ext = oriented.select(F.col("src").alias(last), F.col("dst").alias(new))
         emb = emb.join(ext, last)
         # w must also be a forward neighbor of every earlier member
         for j in range(1, level - 1):
             ej = oriented.select(F.col("src").alias(f"v{j}"), F.col("dst").alias(new))
             emb = emb.join(ej, [f"v{j}", new], "left_semi")
-        if stats is not None:
-            peak = (
+        emb = emb.persist()
+        if level < k or stats is not None:
+            # ONE action materializes the level and returns both the peak
+            # per-task row count (bounded-fan-out evidence) and the next
+            # level's exact expansion estimate
+            row = (
                 emb.groupBy(F.spark_partition_id().alias("pid"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .agg(F.max("n"))
-                .first()[0]
-                or 0
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("_odl").alias("s"))
+                .agg(F.max("n").alias("peak"), F.sum("s").alias("est"))
+                .first()
             )
-            stats.append(
-                {
-                    "level": level,
-                    "est_rows": int(est),
-                    "n_tasks": n_tasks,
-                    "max_task_rows": int(peak),
-                }
-            )
+            peak = int(row["peak"] or 0)
+            next_est = int(row["est"] or 0)
+            if stats is not None:
+                stats.append(
+                    {
+                        "level": level,
+                        "est_rows": est,
+                        "n_tasks": n_tasks,
+                        "max_task_rows": peak,
+                    }
+                )
+            est = next_est
+        if level > 3:
+            prev.unpersist()
     out = emb.agg(F.count(F.lit(1)).cast("long").alias("cliques"))
     return out
 
