@@ -163,6 +163,7 @@ def iterate(
     resume: bool = True,
     on_nonconverged: str = "warn",
     hard_cut_every: int = 8,
+    keep_checkpoints: int | None = None,
 ) -> SuperstepRun:
     """Run `state <- step(state, i)` with checkpointing, lineage metrics, resume.
 
@@ -186,7 +187,12 @@ def iterate(
       (tempfile) that is removed when the loop ends — on a multi-node
       cluster pass `checkpoint_dir` on shared storage for loops expected to
       exceed ~15 rounds so the hard cut lands somewhere all executors and
-      any resuming driver can read."""
+      any resuming driver can read.
+    - `keep_checkpoints`: retention bound for the checkpoint dir (>= 2) —
+      after each committed round, iteration snapshots older than the newest
+      `keep_checkpoints` are dropped (snapshots.ParquetIterationLog.prune;
+      Iceberg's expire_snapshots in the swap). None keeps every round.
+      Resume still works: it continues from the newest surviving snapshot."""
     import tempfile
 
     metrics: list[IterationMetrics] = []
@@ -272,6 +278,10 @@ def iterate(
                 fh.write(json.dumps(m.__dict__) + "\n")
 
         state = persisted
+        if ckpt_log and keep_checkpoints:
+            # prune AFTER delta_fn ran and `state` was rebound: the old
+            # state frame (previous round's snapshot) is no longer read
+            ckpt_log.prune(keep_checkpoints)
         if delta is not None and delta <= tolerance:
             converged = True
             break

@@ -164,6 +164,32 @@ class ParquetIterationLog:
         os.rename(tmp, out)
         return self.spark.read.parquet(out)
 
+    def completed(self) -> list[int]:
+        """All committed iterations, ascending."""
+        if not self.root or not os.path.isdir(self.root):
+            return []
+        return sorted(
+            int(name.split("=")[1])
+            for name in os.listdir(self.root)
+            if name.startswith("iter=") and is_complete(os.path.join(self.root, name))
+        )
+
+    def prune(self, keep_last: int) -> list[int]:
+        """Retention policy: drop all but the newest `keep_last` committed
+        iteration dirs (the Iceberg swap's expire_snapshots). Long superstep
+        runs (k-core ran 81 rounds) would otherwise retain every round's
+        snapshot forever. Returns the iterations dropped. keep_last must be
+        >= 2 so the previous round's snapshot — which the caller's old-state
+        frame and delta_fn may still read lazily — always survives the
+        current round's prune."""
+        if keep_last < 2:
+            raise ValueError("keep_last must be >= 2 (previous round may still be read)")
+        done = self.completed()
+        drop = done[:-keep_last]
+        for i in drop:
+            shutil.rmtree(self.iter_dir(i), ignore_errors=True)
+        return drop
+
 
 # ------------------------------------------------------------- staged append
 
