@@ -2,11 +2,12 @@
 
 Image/audio/video payloads are `binary` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as vectorized pandas
-kernels over `mapInPandas`. Image decode is REAL for uncontainerized
-formats — pure-numpy P6 PPM and uncompressed 24-bit BMP decoders dispatch
-on magic bytes (encoders included as the test-fixture inverses). The
-boundary to compressed formats (PNG/JPEG) and audio/video codecs remains
-an explicit stub: `decode_image` raises NotImplementedError for those
+kernels over `mapInPandas`. Image decode is REAL for library-free formats —
+pure-numpy P6 PPM and uncompressed 24-bit BMP decoders, plus a stdlib-zlib
+non-interlaced 8-bit RGB/RGBA PNG decoder, dispatch on magic bytes
+(encoders included as the test-fixture inverses). The boundary to JPEG and
+audio/video codecs remains an explicit stub: `decode_image` raises
+NotImplementedError for those
 unless `fake=True`, in which case a deterministic fake decoder (seeded by
 the payload hash) produces stable pseudo-features so the Spark-side
 plumbing — schema, partitioning, UDF signature, Arrow batch shape — stays
@@ -105,6 +106,112 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy decoder for non-interlaced 8-bit RGB/RGBA
+    PNG -> HxWx3 uint8 (alpha dropped).
+
+    Chunk walk -> IHDR geometry -> zlib-inflate the concatenated IDAT
+    stream -> per-scanline unfilter. Filters None/Up are whole-row numpy
+    ops; Sub is a wrapping uint8 accumulate along the pixel axis; Average/
+    Paeth (never emitted by encode_png, but legal input) fall back to a
+    per-byte loop on those scanlines only."""
+    import zlib
+
+    if not payload or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat: list[bytes] = []
+    w = h = None
+    bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bit_depth, color_type, interlace = data[8], data[9], data[12]
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise ValueError(
+            "only non-interlaced 8-bit RGB/RGBA PNG supported "
+            f"(depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch + 1
+    if raw.size < h * stride:
+        raise ValueError("PNG pixel data shorter than geometry requires")
+    raw = raw[: h * stride].reshape(h, stride)
+    filters = raw[:, 0]
+    lines = raw[:, 1:]
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = lines[y]
+        prev = out[y - 1] if y else np.zeros(w * ch, dtype=np.uint8)
+        if f == 0:  # None
+            out[y] = cur
+        elif f == 1:  # Sub: recon[x] = cur[x] + recon[x-ch]
+            out[y] = np.add.accumulate(
+                cur.reshape(w, ch), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif f == 2:  # Up
+            out[y] = cur + prev  # uint8 wraps mod 256 per the spec
+        elif f in (3, 4):  # Average / Paeth: sequential in x, per-byte
+            row = out[y]
+            for x in range(w * ch):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if f == 3:
+                    row[x] = (int(cur[x]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+    img = out.reshape(h, w, ch)
+    return img[:, :, :3].copy()
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Inverse of decode_png (test-fixture generator): HxWx3 uint8 ->
+    non-interlaced 8-bit RGB PNG, filter 0 on every scanline."""
+    import zlib
+
+    h, w, _ = img.shape
+    body = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    body[:, 1:] = img.astype(np.uint8).reshape(h, w * 3)
+    compressed = zlib.compress(body.tobytes(), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, color type 2 (RGB), no interlace
+    )
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", compressed) + chunk(b"IEND", b"")
+
+
 def encode_ppm(img: np.ndarray) -> bytes:
     """Inverse of decode_ppm (test-fixture generator): HxWx3 uint8 -> P6."""
     h, w, _ = img.shape
@@ -136,21 +243,23 @@ def encode_bmp(img: np.ndarray) -> bytes:
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    REAL pure-numpy decoders cover P6 PPM and uncompressed 24-bit BMP
-    (dispatch on magic bytes). Compressed formats (PNG/JPEG) still need an
-    image library not present in this container — those payloads raise
-    NotImplementedError unless fake=True, in which case a deterministic
-    8x8x3 array derived from the payload digest keeps the plumbing
-    testable (stable across runs/machines)."""
+    REAL decoders cover P6 PPM, uncompressed 24-bit BMP, and non-interlaced
+    8-bit RGB/RGBA PNG (stdlib zlib + numpy — dispatch on magic bytes).
+    JPEG still needs a codec library not present in this container — those
+    payloads raise NotImplementedError unless fake=True, in which case a
+    deterministic 8x8x3 array derived from the payload digest keeps the
+    plumbing testable (stable across runs/machines)."""
     if payload:
         if payload[:2] == b"P6":
             return decode_ppm(payload)
         if payload[:2] == b"BM":
             return decode_bmp(payload)
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
     if not fake:
         raise NotImplementedError(
-            "only P6 PPM / uncompressed 24-bit BMP decode in this environment "
-            "(compressed formats need an image library); pass fake=True for tests"
+            "only PPM / BMP / non-interlaced 8-bit PNG decode in this "
+            "environment (JPEG needs a codec library); pass fake=True for tests"
         )
     digest = hashlib.sha256(payload or b"").digest()
     rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
@@ -336,17 +445,21 @@ def frame_sample(media: DataFrame, every_ms: int = 1000, fake: bool = True) -> D
 
 
 def generate_media(spark, n_rows: int = 50, seed: int = 42) -> DataFrame:
-    """Deterministic media table matching MEDIA_SCHEMA. Image rows carry
-    REAL P6 PPM payloads (decodable by the pure-numpy path); audio/video
-    payloads stay opaque bytes behind the documented stub boundary."""
+    """Deterministic media table matching MEDIA_SCHEMA. Image rows rotate
+    through REAL P6 PPM / 24-bit BMP / RGB PNG payloads (all decodable by
+    the pure-python paths); audio/video payloads stay opaque bytes behind
+    the documented stub boundary."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
+    encoders = [encode_ppm, encode_bmp, encode_png]
     rows = []
+    n_images = 0
     for i in range(n_rows):
         kind = kinds[i % 3]
         if kind == "image":
             img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
-            payload = encode_ppm(img)
+            payload = encoders[n_images % 3](img)
+            n_images += 1
         else:
             payload = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
         rows.append(

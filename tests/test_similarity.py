@@ -252,9 +252,107 @@ def test_bmp_decode_hand_built_and_roundtrip():
         multimodal.decode_bmp(b"BM" + b"\0" * 60)  # bpp 0: unsupported
 
 
+def test_png_roundtrip_and_dispatch():
+    rng = np.random.default_rng(8)
+    src = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    raw = multimodal.encode_png(src)
+    assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+    assert np.array_equal(multimodal.decode_png(raw), src)
+    # magic-byte dispatch: decode_image real-decodes without fake=True
+    assert np.array_equal(multimodal.decode_image(raw), src)
+
+
+def test_png_all_filter_types_match_reference():
+    """Hand-filter scanlines with every PNG filter type (0,1,2,3,4) and
+    assert decode_png reconstructs the original pixels — the scalar spec
+    (RFC 2083 §6) is applied per byte here as the oracle."""
+    import zlib
+
+    rng = np.random.default_rng(9)
+    w, h, ch = 5, 5, 3
+    src = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    flat = src.reshape(h, w * ch).astype(np.int64)
+    body = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        body.append(f)
+        for x in range(w * ch):
+            a = int(flat[y][x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            body.append((int(flat[y][x]) - pred) & 0xFF)
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(multimodal.decode_png(raw), src)
+
+
+def test_png_rgba_drops_alpha_and_unsupported_raise():
+    import zlib
+
+    rng = np.random.default_rng(10)
+    w, h = 4, 3
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    body = bytearray()
+    for y in range(h):
+        body.append(0)
+        body.extend(rgba[y].reshape(-1).tobytes())
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+    raw = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(multimodal.decode_png(raw), rgba[:, :, :3])
+    # 16-bit depth unsupported
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    ) + chunk(b"IDAT", zlib.compress(b"\0" * 10)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="8-bit RGB"):
+        multimodal.decode_png(bad)
+    with pytest.raises(ValueError, match="PNG"):
+        multimodal.decode_png(b"nope")
+
+
 def test_real_decode_feature_extraction(spark):
-    """End-to-end over the media table's REAL PPM payloads: features from
-    the actual decoded pixels (fake=False), deterministic, correct dim."""
+    """End-to-end over the media table's REAL payloads (mixed PPM/BMP/PNG):
+    features from the actual decoded pixels (fake=False), deterministic,
+    correct dim."""
     media = multimodal.generate_media(spark, n_rows=12)
     imgs = media.where("kind = 'image'")
     feats = multimodal.extract_image_features(imgs, fake=False).collect()
@@ -268,7 +366,7 @@ def test_real_decode_feature_extraction(spark):
         return math.floor(x * 1e4 + 0.5) / 1e4
 
     for row in imgs.collect():
-        img = multimodal.decode_ppm(bytes(row["payload"])).astype(np.float64)
+        img = multimodal.decode_image(bytes(row["payload"])).astype(np.float64)
         got = stats[row["media_id"]]
         assert got["n_pixels"] == img.shape[0] * img.shape[1]
         assert abs(got["mean_r"] - r4(float(img[:, :, 0].mean()))) < 1e-9
