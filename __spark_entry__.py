@@ -78,6 +78,83 @@ _EDGES_DEG_CTE = _EDGES_CTE + """
 """
 
 
+# Analytic reconstruction of the distributed crawl corpus's link graph
+# (generate_pages_distributed(10, 10)): every page links next-in-ring, site
+# root, next-site p0, and (on the mod-10 rule) ../p{(7s+3p)%10}; self-links
+# drop, urls get dense ids by lexicographic rank — byte-order identical in
+# Spark (UTF8 binary) and DuckDB (binary collation) for these ASCII urls.
+# Ends with an `edges` CTE so graph oracles (pagerank/components/triangles)
+# compose on top exactly as they do over the co-purchase _EDGES_CTE.
+_WEB_GRAPH_CTE = """
+WITH pages AS (
+  SELECT s.range AS s, p.range AS p FROM range(10) s, range(10) p
+),
+raw_links AS (
+  SELECT s AS s1, p AS p1, s AS s2, (p+1) % 10 AS p2 FROM pages
+  UNION ALL SELECT s, p, s, 0 FROM pages
+  UNION ALL SELECT s, p, (s+1) % 10, 0 FROM pages
+  UNION ALL SELECT s, p, s, (s*7 + p*3) % 10 FROM pages WHERE (s*31 + p) % 10 < 3
+),
+lnk AS (
+  SELECT format('http://site{}.example/p{}', s1, p1) AS src_url,
+         format('http://site{}.example/p{}', s2, p2) AS dst_url
+  FROM raw_links WHERE NOT (s1 = s2 AND p1 = p2)
+),
+urls AS (
+  SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS vid FROM (
+    SELECT DISTINCT src_url AS url FROM lnk
+    UNION SELECT DISTINCT dst_url FROM lnk
+  )
+),
+edges AS (
+  SELECT DISTINCT LEAST(a.vid, b.vid)::BIGINT AS src,
+                  GREATEST(a.vid, b.vid)::BIGINT AS dst
+  FROM lnk
+  JOIN urls a ON a.url = lnk.src_url
+  JOIN urls b ON b.url = lnk.dst_url
+  WHERE a.vid <> b.vid
+)
+"""
+
+
+def _pipeline_e2e_oracle() -> str:
+    """Composed oracle for the end-to-end pipeline: the web-graph CTE chain
+    feeds the unrolled PageRank CTEs, the recursive-CTE components walk
+    (reusing pagerank's sym/verts), a 3-way-join triangle count, and the
+    edge count — one SQL statement re-deriving the whole pipeline result."""
+    pr = pagerank.pagerank_oracle_sql(_WEB_GRAPH_CTE, n_iterations=10)
+    marker = "\nSELECT vertex, ROUND(rank, 6) AS rank FROM pr10 ORDER BY vertex"
+    assert marker in pr, "pagerank_oracle_sql final projection changed; update marker"
+    return pr.replace(
+        marker,
+        """
+, walk AS (
+  WITH RECURSIVE reach(vertex, seen) AS (
+    SELECT vertex, vertex AS seen FROM verts
+    UNION
+    SELECT r.vertex, e.dst AS seen FROM reach r JOIN sym e ON e.src = r.seen
+  )
+  SELECT vertex, MIN(seen) AS component FROM reach GROUP BY vertex
+)
+, tri AS (
+  SELECT COUNT(*)::BIGINT AS triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.dst = e2.src
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+, ne AS (SELECT COUNT(*)::BIGINT AS n_edges FROM edges)
+SELECT p.vertex, ROUND(p.rank, 6) AS rank, w.component, tri.triangles, ne.n_edges
+FROM pr10 p
+JOIN walk w ON w.vertex = p.vertex
+CROSS JOIN tri CROSS JOIN ne
+ORDER BY p.vertex
+""",
+    )
+
+
+_PIPELINE_E2E_ORACLE = _pipeline_e2e_oracle()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: exact triangle count of the
     co-purchase graph via the bounded-shuffle blocked strategy (block count
@@ -327,6 +404,34 @@ def _q_web_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = P.generate_pages_distributed(spark, n_sites=10, pages_per_site=10)
     edges, _mapping = P.pages_to_edges(corpus)
     return edges.orderBy("src", "dst")
+
+
+def _q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed north-star chain in ONE contract row: pages ->
+    extract_links -> dense-ID edges (committed through the table-format
+    seam) -> blocked TC + PageRank + connected components, per-vertex.
+    The DuckDB oracle re-derives the same result from the corpus's
+    arithmetic link rules in a single CTE chain. Runs in a fresh scratch
+    work dir (the kill/resume semantics are exercised by
+    tests/test_pipeline.py; the contract row checks the composition's
+    values); the result is pinned eagerly so the scratch dir can go."""
+    import shutil
+    import tempfile
+
+    from accelerating_tc_spark.plans import pipeline as pipe
+    from accelerating_tc_spark.sources import pages as P
+
+    work_dir = tempfile.mkdtemp(prefix="pipeline-e2e-")
+    try:
+        out = pipe.web_graph_pipeline(
+            spark,
+            lambda: P.generate_pages_distributed(spark, n_sites=10, pages_per_site=10),
+            work_dir,
+            pr_iterations=10,
+        ).orderBy("vertex")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work_dir, ignore_errors=True)
 
 
 # ------------------- training-data pipeline queries -------------------
@@ -632,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_workload_total": _q_edge_workload,
         "bsr_compression": _q_bsr_compression,
         "web_edges": _q_web_edges,
+        "pipeline_e2e": _q_pipeline_e2e,
         "host_graph": _q_host_graph,
         "anchor_texts": _q_anchor_texts,
         # --- training-data pipeline ops (documents / embeddings / events) ---
@@ -923,35 +1029,8 @@ FROM m
         # the mod-10 rule) ../p{(7s+3p)%10}; self-links drop, urls get
         # dense ids by lexicographic rank — byte-order identical in Spark
         # (UTF8 binary) and DuckDB (binary collation) for these ASCII urls
-        "web_edges": """
-WITH pages AS (
-  SELECT s.range AS s, p.range AS p FROM range(10) s, range(10) p
-),
-raw_links AS (
-  SELECT s AS s1, p AS p1, s AS s2, (p+1) % 10 AS p2 FROM pages
-  UNION ALL SELECT s, p, s, 0 FROM pages
-  UNION ALL SELECT s, p, (s+1) % 10, 0 FROM pages
-  UNION ALL SELECT s, p, s, (s*7 + p*3) % 10 FROM pages WHERE (s*31 + p) % 10 < 3
-),
-lnk AS (
-  SELECT format('http://site{}.example/p{}', s1, p1) AS src_url,
-         format('http://site{}.example/p{}', s2, p2) AS dst_url
-  FROM raw_links WHERE NOT (s1 = s2 AND p1 = p2)
-),
-urls AS (
-  SELECT url, ROW_NUMBER() OVER (ORDER BY url) - 1 AS vid FROM (
-    SELECT DISTINCT src_url AS url FROM lnk
-    UNION SELECT DISTINCT dst_url FROM lnk
-  )
-)
-SELECT DISTINCT LEAST(a.vid, b.vid)::BIGINT AS src,
-                GREATEST(a.vid, b.vid)::BIGINT AS dst
-FROM lnk
-JOIN urls a ON a.url = lnk.src_url
-JOIN urls b ON b.url = lnk.dst_url
-WHERE a.vid <> b.vid
-ORDER BY src, dst
-""",
+        "web_edges": _WEB_GRAPH_CTE + "SELECT src, dst FROM edges ORDER BY src, dst",
+        "pipeline_e2e": _PIPELINE_E2E_ORACLE,
         # host_graph: same analytic corpus as web_edges; hosts derive
         # straight from the site index, so only distinct DIRECTED page
         # pairs (self-links dropped) are rolled up per host pair
