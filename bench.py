@@ -110,9 +110,13 @@ def run_headline_once(spark, canonical, n_edges, extras) -> dict[str, float]:
     times: dict[str, float] = {}
 
     def timed(name, fn):
+        # job-group tag: the event-log work metrics (tools/workmetrics.py)
+        # attribute every task of this query's jobs to `name`
+        spark.sparkContext.setJobGroup(name, f"headline:{name}")
         t0 = time.time()
         out = fn()
         times[name] = round(time.time() - t0, 3)
+        spark.sparkContext.setJobGroup("between", "headline bookkeeping")
         return out
 
     oriented = prep.orient_by_degree(canonical).cache()
@@ -215,14 +219,31 @@ def main() -> None:
     if "--stream" in sys.argv:
         return run_stream_volume()
 
+    sys.path.insert(0, str(REPO / "tools"))
+    from workmetrics import event_log_conf, parse_event_log
+
     rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     cal_pre = cpu_calibration()
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    log_dir, elog_conf = event_log_conf()
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS, extra_conf=elog_conf)
+    app_id = spark.sparkContext.applicationId
     t0 = time.time()
     times, extras, visits = run_headline(spark, SF_DIR, rounds)
     wall = round(time.time() - t0, 3)
     spark.stop()
     cal_post = cpu_calibration()
+    # per-query WORK (summed task CPU / shuffle bytes per pass): the
+    # regression gate walls can't give — an extra exchange or a lost
+    # pushdown moves shuffle_write_mb even when walls are noisy
+    work_all = parse_event_log(log_dir, app_id)
+    extras["work_per_query"] = {
+        q: {
+            k: (v if k == "peak_task_mem_mb" else round(v / rounds, 3))
+            for k, v in w.items()
+        }
+        for q, w in work_all.items()
+        if q not in ("<ungrouped>", "between")
+    }
     # value = sum of per-query minima: the noise-robust suite total.
     # wall_total (extras) is the raw session wall including all passes.
     total = round(sum(times.values()), 3)
@@ -278,9 +299,17 @@ def scaling_single(cores: int, n_vertices: int | None = None, n_edges_req: int |
     from accelerating_tc_spark.session import get_spark
     from accelerating_tc_spark.sources import synthetic
 
+    sys.path.insert(0, str(REPO / "tools"))
+    from workmetrics import event_log_conf, parse_event_log
+
     n_v = n_vertices or SCALE_VERTICES
     n_e = n_edges_req or SCALE_EDGES
-    spark = get_spark(f"bench_scale_{cores}", cores=cores, shuffle_partitions=cores)
+    log_dir, elog_conf = event_log_conf()
+    spark = get_spark(
+        f"bench_scale_{cores}", cores=cores, shuffle_partitions=cores,
+        extra_conf=elog_conf,
+    )
+    app_id = spark.sparkContext.applicationId
     raw = synthetic.zipf_edges_distributed(spark, n_v, n_e, s=SCALE_ZIPF_S)
     canonical = prep.canonicalize_edges(raw).cache()
     n_edges = canonical.count()
@@ -301,8 +330,10 @@ def scaling_single(cores: int, n_vertices: int | None = None, n_edges_req: int |
     )
     n_measures = int(os.environ.get("SPARK_GRAFT_SCALE_MEASURES", "2"))
     n_warmups = int(os.environ.get("SPARK_GRAFT_SCALE_WARMUPS", "2"))
+    spark.sparkContext.setJobGroup("warmup", "scaling warm-up runs")
     for _ in range(n_warmups):
         triangles.triangle_count_blocked(oriented, n_blocks=SCALE_BLOCKS, deg=deg).collect()
+    spark.sparkContext.setJobGroup("measure", "scaling measured runs")
     dt = float("inf")
     tri = 0
     for _ in range(n_measures):
@@ -312,6 +343,20 @@ def scaling_single(cores: int, n_vertices: int | None = None, n_edges_req: int |
         ]
         dt = min(dt, time.time() - t0)
     spark.stop()
+    # scale-INVARIANT work axis (see tools/workmetrics.py): summed task CPU
+    # time / shuffle bytes of ONE measured run — if these are flat across
+    # core counts, the plan does no extra work at higher parallelism and
+    # any wall gap is the box, not the engine
+    work = parse_event_log(log_dir, app_id).get("measure", {})
+    per_run = {
+        k: (round(v / n_measures, 3) if isinstance(v, float) or k == "n_tasks" else v)
+        for k, v in work.items()
+        if k != "peak_task_mem_mb"
+    }
+    if "n_tasks" in per_run:
+        per_run["n_tasks"] = round(per_run["n_tasks"], 1)
+    if "peak_task_mem_mb" in work:
+        per_run["peak_task_mem_mb"] = work["peak_task_mem_mb"]  # max, not a sum
     print(
         json.dumps(
             {
@@ -320,6 +365,7 @@ def scaling_single(cores: int, n_vertices: int | None = None, n_edges_req: int |
                 "triangles_per_sec": round(tri / dt, 1),
                 "n_edges": n_edges,
                 "n_blocks": chosen_b,
+                "work_per_run": per_run,
             }
         )
     )
@@ -396,13 +442,24 @@ def run_scaling() -> None:
                 # executor-thread JVM) must not abort the whole multi-hour
                 # protocol; the failure itself is recorded so the session
                 # ledger stays honest about what happened
+                visit_row = None
                 for attempt in (1, 2):
                     out = subprocess.run(cmd, capture_output=True, text=True)
                     if out.returncode == 0:
-                        break
+                        # rc=0 with empty/non-JSON stdout (e.g. a crashed
+                        # JVM that still exited cleanly) is ALSO a failed
+                        # attempt — same logged-tail + retry handling
+                        lines = out.stdout.strip().splitlines()
+                        try:
+                            visit_row = json.loads(lines[-1]) if lines else None
+                        except json.JSONDecodeError:
+                            visit_row = None
+                        if visit_row is not None:
+                            break
                     sys.stderr.write(
                         f"[scaling] visit cores={cores} attempt {attempt} failed "
-                        f"(rc={out.returncode}); stderr tail:\n"
+                        f"(rc={out.returncode}, parsed={visit_row is not None}); "
+                        "stderr tail:\n"
                         + "\n".join(out.stderr.splitlines()[-15:])
                         + "\n"
                     )
@@ -410,10 +467,21 @@ def run_scaling() -> None:
                     raise RuntimeError(
                         f"scaling visit cores={cores} failed twice; see stderr above"
                     )
-                visits[cores].append(json.loads(out.stdout.strip().splitlines()[-1]))
+                visits[cores].append(visit_row)
         tris = {r["triangles"] for vs in visits.values() for r in vs}
         best = {c: min(vs, key=lambda r: r["sec"]) for c, vs in visits.items()}
         raw = round((best[a]["sec"] / best[b]["sec"]) / (b / a), 3)
+        # work invariance: ratio of the larger level's per-run work to the
+        # smaller's (best visit each). ~1.0 on every axis proves the plan
+        # does the same work at both parallelism levels — the box-proof
+        # scaling argument (r5 verdict task 1)
+        wa = best[a].get("work_per_run") or {}
+        wb = best[b].get("work_per_run") or {}
+        work_inv = {
+            k: round(wb[k] / wa[k], 3)
+            for k in ("cpu_s", "shuffle_read_mb", "shuffle_write_mb", "n_tasks")
+            if wa.get(k) and wb.get(k)
+        }
         leg_out[f"{a}to{b}"] = {
             "cores": [a, b],
             "n_vertices": n_v,
@@ -425,6 +493,8 @@ def run_scaling() -> None:
             "raw_eff": raw,
             "parity": len(tris) == 1,
             "triangles": best[b]["triangles"],
+            "work_per_run": {str(c): (best[c].get("work_per_run") or {}) for c in (a, b)},
+            "work_invariance": work_inv,
         }
     cal_post = _box_calibration(cal_levels)
 
@@ -485,12 +555,7 @@ def run_skew() -> None:
     oriented = prep.orient_by_degree(canonical).cache()
     oriented.count()
 
-    def measure(hub_threshold):
-        # warm once per config — the r2 single-shot protocol's apparent
-        # hub-route win was warm-up-order bias (BENCH.md §5h)
-        triangles.blocked_task_stats(
-            oriented, n_blocks=16, hub_threshold=hub_threshold
-        ).collect()
+    def measure_once(hub_threshold):
         t0 = time.time()
         row = triangles.blocked_task_stats(
             oriented, n_blocks=16, hub_threshold=hub_threshold
@@ -504,8 +569,20 @@ def run_skew() -> None:
             "skew_ratio": round(row["max_task_s"] / max(row["median_task_s"], 1e-9), 1),
         }
 
-    off = measure(None)  # default: no hub route
-    on = measure(100_000)  # route the planted mega-hub explicitly
+    # interleaved min-of-N A/B (the r5 headline protocol): the r2
+    # single-shot comparison's apparent hub-route win was warm-up-order
+    # bias (BENCH.md §5h), and the r3 decision was measured against the
+    # OLD gather-both-sides kernel — the r5 probe-kernel rewrite moved the
+    # baseline, so the crossover is re-measured per round.
+    rounds = int(os.environ.get("SPARK_GRAFT_SKEW_ROUNDS", "3"))
+    measure_once(None)  # shared warm-up (codegen/JIT/worker pool)
+    measure_once(100_000)
+    visits: dict[str, list[dict]] = {"off": [], "on": []}
+    for _ in range(rounds):
+        visits["off"].append(measure_once(None))  # default: no hub route
+        visits["on"].append(measure_once(100_000))  # route the mega-hub
+    off = min(visits["off"], key=lambda r: r["wall_s"])
+    on = min(visits["on"], key=lambda r: r["wall_s"])
     spark.stop()
     print(
         json.dumps(
@@ -516,6 +593,13 @@ def run_skew() -> None:
                 "queries": {"hub_route_on": on["wall_s"], "hub_route_off": off["wall_s"]},
                 "sf": _sf_label(SF_DIR),
                 "detail": {"on": on, "off": off, "n_edges": n_edges},
+                "protocol": {
+                    "rounds": rounds,
+                    "stat": "min_per_config_interleaved",
+                    "visits": {
+                        k: [r["wall_s"] for r in vs] for k, vs in visits.items()
+                    },
+                },
                 "parity": on["triangles"] == off["triangles"],
             }
         )
