@@ -119,16 +119,19 @@ def component_sizes(spark: SparkSession, canonical: DataFrame, **kwargs) -> Data
 
 def component_sizes_oracle_sql(edges_cte: str) -> str:
     """Histogram view of the recursive-CTE component oracle."""
-    return (
-        components_oracle_sql(edges_cte)
-        .replace(
-            "SELECT vertex, component FROM walk ORDER BY vertex",
-            """
+    base = components_oracle_sql(edges_cte)
+    marker = "SELECT vertex, component FROM walk ORDER BY vertex"
+    # guard the rewrite: if the base oracle's final SELECT is ever reworded
+    # the replace would silently no-op and return the per-vertex listing
+    # with the wrong schema (a confusing harness diff instead of this error)
+    assert marker in base, "components_oracle_sql final projection changed; update marker"
+    return base.replace(
+        marker,
+        """
 SELECT size, COUNT(*)::BIGINT AS n_components FROM (
   SELECT component, COUNT(*)::BIGINT AS size FROM walk GROUP BY component
 ) GROUP BY size ORDER BY size
 """,
-        )
     )
 
 

@@ -186,7 +186,20 @@ def graph_stats(canonical: DataFrame) -> DataFrame:
     sym = with_deg.select(F.col("ds").alias("da"), F.col("dd").alias("db")).unionAll(
         with_deg.select(F.col("dd").alias("da"), F.col("ds").alias("db"))
     )
-    per_edge = sym.agg(F.round(F.corr("da", "db"), 6).alias("assortativity"))
+    # degenerate case: zero degree variance (regular graphs — a cycle, a
+    # perfect matching) makes Pearson r undefined. Spark's corr RAISES
+    # DIVIDE_BY_ZERO under ANSI mode (the 4.x default) while SQL CORR
+    # (DuckDB oracle) returns NULL — so compute r explicitly from the same
+    # co-moments with try_divide, which yields NULL exactly where SQL does
+    per_edge = sym.agg(
+        F.round(
+            F.try_divide(
+                F.covar_pop("da", "db"),
+                F.stddev_pop("da") * F.stddev_pop("db"),
+            ),
+            6,
+        ).alias("assortativity")
+    )
     base = canonical.agg(F.count(F.lit(1)).alias("n_edges"))
     vstats = deg.agg(
         F.count(F.lit(1)).alias("n_vertices"),

@@ -223,7 +223,14 @@ def extract_anchors(pages: DataFrame) -> DataFrame:
     training-data pipelines: what OTHER pages call a document. Same
     vectorized Arrow-batch shape and <base href> semantics as
     `extract_links`; self-links drop after normalization, empty anchors
-    become ''."""
+    become ''.
+
+    NOT lossless vs `extract_links`: an <a> nested inside another <a>
+    (invalid but common HTML) is swallowed into the OUTER anchor's inner
+    text by the non-greedy body match, so the inner link yields no row
+    here while extract_links' raw href scan still finds it. Downstream
+    joins between the two extractors must treat this table as a subset of
+    the link set, not an annotated equal."""
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

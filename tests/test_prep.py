@@ -79,3 +79,15 @@ def test_graph_stats_star_assortativity(spark):
     assert row["max_degree"] == 4
     assert row["avg_degree"] == round(8 / 5, 6)
     assert row["assortativity"] == -1.0
+
+
+def test_graph_stats_regular_graph_null_assortativity(spark):
+    # a cycle is 2-regular: zero degree variance makes corr undefined.
+    # Spark's corr yields NaN but SQL CORR (the DuckDB oracle) yields NULL;
+    # graph_stats maps both to NULL so engine and oracle agree
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    row = prep.graph_stats(prep.canonicalize_edges(edges)).collect()[0]
+    assert row["n_vertices"] == 4 and row["n_edges"] == 4
+    assert row["assortativity"] is None
