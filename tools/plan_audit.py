@@ -167,6 +167,38 @@ def main() -> int:
         "rounds collapse to checkpoint scans like PageRank",
     )
 
+    # 8. measured-work consistency: the latest headline run's event-log work
+    # numbers (tools/workmetrics.py) must agree with the plan shapes asserted
+    # above — the wall-independent regression gate (r5 verdict task 7)
+    import glob
+    import json
+
+    runs = sorted(glob.glob(str(REPO / "bench_runs" / "headline_r*_s*.json")))
+    if runs:
+        data = json.loads(Path(runs[-1]).read_text())
+        w = data.get("extras", {}).get("work_per_query", {})
+        expected = [
+            "orient", "tc_blocked", "tc_array_intersect", "pagerank10",
+            "connected_components", "label_propagation5", "degree_histogram",
+        ]
+        have = all(q in w and w[q]["cpu_s"] > 0 and w[q]["n_tasks"] > 0 for q in expected)
+        check(
+            "headline bench records event-log work for every query",
+            have,
+            f"{len(w)} queries with work sums in {Path(runs[-1]).name}",
+        )
+        if have:
+            # the 'only the rank table shuffles per round' property, made
+            # quantitative: ten PageRank rounds together must move far less
+            # shuffle than ONE blocked-TC pass's adjacency exchange
+            check(
+                "PageRank's 10 rounds shuffle less than half of one blocked-TC pass",
+                w["pagerank10"]["shuffle_write_mb"]
+                < 0.5 * w["tc_blocked"]["shuffle_write_mb"],
+                f"pagerank10 {w['pagerank10']['shuffle_write_mb']} MB vs "
+                f"tc_blocked {w['tc_blocked']['shuffle_write_mb']} MB per pass",
+            )
+
     spark.stop()
     failed = [c for c in CHECKS if not c[1]]
     print(f"\n{len(CHECKS) - len(failed)}/{len(CHECKS)} plan properties hold")
