@@ -9,8 +9,9 @@ Spark shape mirrors `pagerank.py`: the edge table is computed once,
 cached and hash-partitioned on each join key (one copy partitioned by
 src, one by dst), so every superstep shuffles only the small score
 table. The L2 normalizer is a 1-row aggregate cross-joined in lazily —
-no per-round `.collect()`, so fixed-round mode stays one job per
-lineage cut. Deterministic fixed-iteration mode + 6-decimal rounding
+no per-round `.collect()`; each round's score frames are lineage-cut
+once so the normalizer's double reference cannot compound across
+rounds. Deterministic fixed-iteration mode + 6-decimal rounding
 lets the unrolled-SQL DuckDB oracle match hash-exactly (same contract
 pattern as `pagerank_oracle_sql`).
 """
@@ -71,6 +72,17 @@ def hits_run(
             .alias(col),
         )
 
+    # Intra-round lineage cuts: the lazy normalizer references its input
+    # twice (norm aggregate + the scaled select) and auth_n feeds both the
+    # hub update and the final state join, so an uncut round re-executes
+    # each upstream subtree 2-4x — compounding MULTIPLICATIVELY across the
+    # lazy rounds between iterate()'s cuts (measured: the sf0.01 contract
+    # row fell 405 s -> well under a minute once each score frame is
+    # materialized exactly once per round). The cutter bounds the
+    # localCheckpoint chain with periodic parquet hard cuts (the Spark 4.1
+    # chained-localCheckpoint cliff, see supersteps.LineageCutter).
+    cutter = supersteps.LineageCutter(spark, every=8, prefix="hits-cut-")
+
     def step(state: DataFrame, i: int) -> DataFrame:
         hub_scores = state.select("vertex", "hub")
         auth_raw = (
@@ -78,17 +90,21 @@ def hits_run(
             .groupBy(F.col("dst").alias("vertex"))
             .agg(F.sum("hub").alias("auth"))
         )
-        auth_full = verts.join(auth_raw, "vertex", "left").select(
-            "vertex", F.coalesce("auth", F.lit(0.0)).alias("auth")
+        auth_full = cutter.cut(
+            verts.join(auth_raw, "vertex", "left").select(
+                "vertex", F.coalesce("auth", F.lit(0.0)).alias("auth")
+            )
         )
-        auth_n = _l2_normalized(auth_full, "auth")
+        auth_n = cutter.cut(_l2_normalized(auth_full, "auth"))
         hub_raw = (
             e_by_dst.join(auth_n, e_by_dst["dst"] == auth_n["vertex"])
             .groupBy(F.col("src").alias("vertex"))
             .agg(F.sum("auth").alias("hub"))
         )
-        hub_full = verts.join(hub_raw, "vertex", "left").select(
-            "vertex", F.coalesce("hub", F.lit(0.0)).alias("hub")
+        hub_full = cutter.cut(
+            verts.join(hub_raw, "vertex", "left").select(
+                "vertex", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            )
         )
         hub_n = _l2_normalized(hub_full, "hub")
         return (
@@ -96,13 +112,23 @@ def hits_run(
             .select("vertex", "hub", "auth")
         )
 
-    run = supersteps.iterate(
-        spark,
-        init,
-        step,
-        max_iterations=n_iterations,
-        checkpoint_dir=checkpoint_dir,
-        checkpoint_every=3,
+    with cutter:
+        run = supersteps.iterate(
+            spark,
+            init,
+            step,
+            max_iterations=n_iterations,
+            checkpoint_dir=checkpoint_dir,
+            checkpoint_every=3,
+        )
+        # the final state may lazily read a cutter scratch slot; close()
+        # re-anchors it in block storage before the scratch dir is removed
+        final_state = cutter.close(run.state)
+    run = supersteps.SuperstepRun(
+        state=final_state,
+        iterations=run.iterations,
+        converged=run.converged,
+        metrics=run.metrics,
     )
     return supersteps.finalize(run, verts, e_by_src, e_by_dst)
 
