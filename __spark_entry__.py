@@ -210,6 +210,13 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("vertex", F.round("rank", 6).alias("rank")).orderBy("vertex")
 
 
+def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ppr = pagerank.personalized_pagerank(
+        spark, _canonical(spark, sf_dir), n_seeds=8, n_iterations=10
+    )
+    return ppr.select("vertex", F.round("rank", 6).alias("rank")).orderBy("vertex")
+
+
 def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.connected_components(spark, _canonical(spark, sf_dir)).orderBy("vertex")
 
@@ -720,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": _q_out_degrees,
         "edge_count": _q_edge_count,
         "pagerank": _q_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "hits": _q_hits,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
@@ -909,6 +917,9 @@ SELECT (SELECT COUNT(*) FROM degs)::BIGINT AS n_vertices,
 FROM sym
 """,
         "pagerank": pagerank.pagerank_oracle_sql(_EDGES_CTE, n_iterations=10),
+        "personalized_pagerank": pagerank.personalized_pagerank_oracle_sql(
+            _EDGES_CTE, n_seeds=8, n_iterations=10
+        ),
         "hits": hits.hits_oracle_sql(_EDGES_CTE, n_iterations=10),
         "connected_components": components.components_oracle_sql(_EDGES_CTE),
         "component_sizes": components.component_sizes_oracle_sql(_EDGES_CTE),

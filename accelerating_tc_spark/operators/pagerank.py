@@ -117,6 +117,174 @@ def pagerank(
     ).state
 
 
+def personalized_pagerank_run(
+    spark: SparkSession,
+    canonical: DataFrame,
+    seeds: DataFrame | None = None,
+    n_seeds: int = 8,
+    n_iterations: int = 10,
+    damping: float = DAMPING,
+    checkpoint_dir: str | None = None,
+) -> "supersteps.SuperstepRun":
+    """Personalized PageRank: teleport mass restricted to a seed set
+    (north-star web-graph addition — topic-/site-conditioned relevance,
+    the standard seeded variant of the uniform walk above).
+
+    `seeds` is a (vertex) DataFrame; when None the `n_seeds` lowest vertex
+    ids are used (deterministic and SQL-expressible, so the contract row
+    gets a full DuckDB oracle). Teleport vector s(v) = 1/|seeds| on seeds,
+    0 elsewhere; init rank = s; update
+    rank(v) = (1-d)·s(v) + d·Σ_{u∈N(v)} rank(u)/out_degree(u).
+
+    Plan shape matches `pagerank_run`: edges+degrees computed once, cached,
+    hash-partitioned on the join key; each superstep shuffles only the
+    vertex-sized rank table. The teleport join keys on the same vertex
+    hash partitioning the contribution aggregate already produced, and the
+    seed frame is broadcast — per-round cost is identical to uniform
+    PageRank plus one co-partitioned join."""
+    n_part = spark.sparkContext.defaultParallelism
+    sym = prep.symmetrize(canonical)
+    verts = _vertices(sym).repartition(n_part, "vertex").cache()
+    if seeds is None:
+        seeds = verts.orderBy("vertex").limit(n_seeds)
+    k = seeds.count()
+    if k == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    # teleport vector, computed once: tiny seed frame broadcast against the
+    # cached vertex table, then pinned on the superstep join partitioning
+    verts_s = (
+        verts.join(
+            F.broadcast(seeds.select("vertex", F.lit(1.0 / k).alias("s"))),
+            "vertex",
+            "left",
+        )
+        .select("vertex", F.coalesce("s", F.lit(0.0)).alias("s"))
+        .repartition(n_part, "vertex")
+        .cache()
+    )
+    verts_s.count()
+    out_deg = sym.groupBy(F.col("src").alias("vertex")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    edges_od = (
+        sym.join(out_deg, sym["src"] == out_deg["vertex"])
+        .select("src", "dst", "out_degree")
+        .repartition(n_part, "src")
+        .cache()
+    )
+    edges_od.count()
+
+    init = verts_s.select("vertex", F.col("s").alias("rank"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        contrib = (
+            edges_od.join(state, edges_od["src"] == state["vertex"])
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("c"))
+        )
+        # left join keeps zero-contribution vertices (a seeded walk can
+        # leave far vertices at exactly d·0 + (1-d)·0); both sides are
+        # hash-partitioned on vertex so this adds no exchange
+        return verts_s.join(contrib, "vertex", "left").select(
+            "vertex",
+            (
+                F.lit(1.0 - damping) * F.col("s")
+                + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+            ).alias("rank"),
+        )
+
+    run = supersteps.iterate(
+        spark,
+        init,
+        step,
+        max_iterations=n_iterations,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_every=3,
+    )
+    return supersteps.finalize(run, verts, verts_s, edges_od)
+
+
+def personalized_pagerank(
+    spark: SparkSession,
+    canonical: DataFrame,
+    seeds: DataFrame | None = None,
+    n_seeds: int = 8,
+    n_iterations: int = 10,
+    damping: float = DAMPING,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(vertex, rank) after n_iterations of the seeded walk; ranks sum to 1
+    over the vertex set (init mass 1 on the seeds, every update preserves
+    total mass on the dangling-free symmetrized graph)."""
+    return personalized_pagerank_run(
+        spark,
+        canonical,
+        seeds=seeds,
+        n_seeds=n_seeds,
+        n_iterations=n_iterations,
+        damping=damping,
+        checkpoint_dir=checkpoint_dir,
+    ).state
+
+
+def personalized_pagerank_oracle_sql(
+    edges_cte: str,
+    n_seeds: int = 8,
+    n_iterations: int = 10,
+    damping: float = DAMPING,
+) -> str:
+    """Unrolled ANSI-SQL personalized PageRank (lowest-`n_seeds` vertex ids
+    as the seed set — the same deterministic default as the Spark side).
+
+    `edges_cte` must define a CTE `edges(src, dst)` with canonical src<dst
+    rows. Output: (vertex, rank) rounded to 6dp."""
+    parts = [
+        edges_cte,
+        f"""
+, sym AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM edges
+)
+, verts AS (SELECT DISTINCT src AS vertex FROM sym)
+, seeds AS (SELECT vertex FROM verts ORDER BY vertex LIMIT {n_seeds})
+, k AS (SELECT COUNT(*)::DOUBLE AS k FROM seeds)
+, od AS (SELECT src AS vertex, COUNT(*)::DOUBLE AS out_degree FROM sym GROUP BY src)
+, vs AS (
+  SELECT v.vertex,
+         CASE WHEN s.vertex IS NOT NULL THEN 1.0 / (SELECT k FROM k) ELSE 0.0 END AS s
+  FROM verts v LEFT JOIN seeds s ON s.vertex = v.vertex
+)
+, pr0 AS (SELECT vertex, s AS rank FROM vs)
+""",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"""
+, pr{i} AS (
+  SELECT v.vertex,
+         (1.0 - {damping}) * v.s
+         + {damping} * COALESCE(c.contrib, 0.0) AS rank
+  FROM vs v
+  LEFT JOIN (
+    SELECT e.dst AS vertex, SUM(p.rank / o.out_degree) AS contrib
+    FROM sym e
+    JOIN pr{i - 1} p ON p.vertex = e.src
+    JOIN od o ON o.vertex = e.src
+    GROUP BY e.dst
+  ) c ON c.vertex = v.vertex
+)"""
+        )
+    parts.append(
+        f"\nSELECT vertex, ROUND(rank, 6) AS rank FROM pr{n_iterations} ORDER BY vertex"
+    )
+    return "".join(parts)
+
+
 def pagerank_oracle_sql(edges_cte: str, n_iterations: int = 10, damping: float = DAMPING) -> str:
     """Unrolled ANSI-SQL PageRank over the same graph, for the DuckDB oracle.
 

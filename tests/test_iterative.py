@@ -123,6 +123,67 @@ def test_pagerank_matches_numpy(spark, graph):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def numpy_personalized_pagerank(pairs, n_seeds=8, n_iter=10, d=0.85) -> dict[int, float]:
+    edges = _clean_pairs(pairs)
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    deg = np.zeros(n)
+    for a, b in edges:
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    seeds = verts[: min(n_seeds, n)]
+    s = np.zeros(n)
+    for v in seeds:
+        s[idx[v]] = 1.0 / len(seeds)
+    rank = s.copy()
+    for _ in range(n_iter):
+        contrib = np.zeros(n)
+        for a, b in edges:
+            contrib[idx[b]] += rank[idx[a]] / deg[idx[a]]
+            contrib[idx[a]] += rank[idx[b]] / deg[idx[b]]
+        rank = (1 - d) * s + d * contrib
+    return {v: rank[idx[v]] for v in verts}
+
+
+def test_personalized_pagerank_matches_numpy(spark, graph):
+    pairs, canonical = graph
+    got = {
+        r["vertex"]: r["rank"]
+        for r in pagerank.personalized_pagerank(
+            spark, canonical, n_seeds=8, n_iterations=10
+        ).collect()
+    }
+    expected = numpy_personalized_pagerank(pairs, n_seeds=8, n_iter=10)
+    assert set(got) == set(expected)
+    for v in expected:
+        assert abs(got[v] - expected[v]) < 1e-9, v
+    # mass conservation: init sums to 1 and the dangling-free update
+    # preserves total mass
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # locality: teleport concentrates mass on the seed set vs the uniform walk
+    seeds = sorted(got)[:8]
+    uni = {r["vertex"]: r["rank"] for r in pagerank.pagerank(spark, canonical, n_iterations=10).collect()}
+    assert sum(got[v] for v in seeds) > sum(uni[v] for v in seeds)
+
+
+def test_personalized_pagerank_explicit_seed_frame(spark, graph):
+    pairs, canonical = graph
+    from accelerating_tc_spark.sources import synthetic as syn
+    from pyspark.sql import functions as F
+
+    seeds = syn.edges_df(spark, [(600, 601)]).select(F.col("src").alias("vertex"))
+    got = {
+        r["vertex"]: r["rank"]
+        for r in pagerank.personalized_pagerank(
+            spark, canonical, seeds=seeds, n_iterations=10
+        ).collect()
+    }
+    # all teleport mass stays inside the 2-vertex component {600, 601}
+    assert abs(got[600] + got[601] - 1.0) < 1e-9
+    assert all(abs(got[v]) < 1e-12 for v in got if v not in (600, 601))
+
+
 def test_connected_components_exact(spark, graph):
     pairs, canonical = graph
     got = {
