@@ -37,6 +37,7 @@ from accelerating_tc_spark.operators import (  # noqa: E402
     pagerank,
     peel,
     prep,
+    scc,
     similarity,
     subgraph,
     text,
@@ -56,6 +57,11 @@ WITH edges AS (
   WHERE a.l_partkey < b.l_partkey
 )
 """
+
+# Directed variant for SCC (tpch_graph.COPURCHASE_DIRECTED_SQL verbatim).
+_DIRECTED_EDGES_CTE = (
+    "WITH edges AS (" + tpch_graph.COPURCHASE_DIRECTED_SQL + ")"
+)
 
 _EDGES_DEG_CTE = _EDGES_CTE + """
 , degs AS (
@@ -223,6 +229,18 @@ def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return components.component_sizes(spark, _canonical(spark, sf_dir)).orderBy("size")
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC over the DIRECTED co-purchase graph (web-bowtie analysis; the
+    closure oracle re-derives component = min mutually-reachable vertex)."""
+    edges = tpch_graph.copurchase_directed_edges(spark, sf_dir)
+    return scc.strongly_connected_components(spark, edges).orderBy("vertex")
+
+
+def _q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_graph.copurchase_directed_edges(spark, sf_dir)
+    return scc.scc_sizes(spark, edges).orderBy("size")
 
 
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -731,6 +749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits": _q_hits,
         "connected_components": _q_components,
         "component_sizes": _q_component_sizes,
+        "scc": _q_scc,
+        "scc_sizes": _q_scc_sizes,
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
         "local_clustering": _q_local_clustering,
@@ -923,6 +943,8 @@ FROM sym
         "hits": hits.hits_oracle_sql(_EDGES_CTE, n_iterations=10),
         "connected_components": components.components_oracle_sql(_EDGES_CTE),
         "component_sizes": components.component_sizes_oracle_sql(_EDGES_CTE),
+        "scc": scc.scc_oracle_sql(_DIRECTED_EDGES_CTE),
+        "scc_sizes": scc.scc_sizes_oracle_sql(_DIRECTED_EDGES_CTE),
         "label_propagation": labelprop.label_propagation_oracle_sql(_EDGES_CTE, n_iterations=5),
         # core_numbers: the h-index fixpoint is idempotent, so an unrolled
         # SQL iteration with margin (24 rounds; the sf0.01 graph converges

@@ -52,6 +52,44 @@ FROM lineitem WHERE l_partkey > 1
 """
 
 
+# DIRECTED co-purchase graph for the directed-structure operators (SCC):
+# co-purchased part pairs pass a symmetric mod-7 sparsifier, then each
+# ordered direction survives independently iff the asymmetric mod rule
+# fires (~2/5 per orientation) — mixing 2-cycles (seeding multi-vertex
+# SCCs) with one-way edges (tendrils). The sparsifier matters: the raw
+# co-purchase graph is dense enough that its directed closure is ONE
+# all-vertex SCC (measured at sf0.001 and sf0.01) — degenerate for the
+# operator. This rule yields a crawl-like bowtie instead: at sf0.01,
+# SCCs of 286/567/569/571 vertices plus singleton tendrils.
+COPURCHASE_DIRECTED_SQL = """
+SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_partkey <> b.l_partkey
+  AND (a.l_partkey + b.l_partkey) % 7 = 0
+  AND (a.l_partkey * 7 + b.l_partkey * 3) % 5 < 2
+"""
+
+
+def copurchase_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge table matching COPURCHASE_DIRECTED_SQL."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.withColumnRenamed("l_partkey", "src")
+    b = li.withColumnRenamed("l_partkey", "dst")
+    return (
+        a.join(b, "l_orderkey")
+        .where(
+            (F.col("src") != F.col("dst"))
+            & ((F.col("src") + F.col("dst")) % 7 == 0)
+            & ((F.col("src") * 7 + F.col("dst") * 3) % 5 < 2)
+        )
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+    )
+
+
 def copurchase_hub_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical skewed edge table matching COPURCHASE_HUB_EDGES_SQL."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
