@@ -26,6 +26,8 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from accelerating_tc_spark.operators import (  # noqa: E402
+    bfs,
+    bowtie,
     components,
     dedup,
     hits,
@@ -62,6 +64,10 @@ WITH edges AS (
 _DIRECTED_EDGES_CTE = (
     "WITH edges AS (" + tpch_graph.COPURCHASE_DIRECTED_SQL + ")"
 )
+
+# Directed + one-way DAG bridges: populates the bow-tie's in/out sets
+# (tpch_graph.BOWTIE_EDGES_SQL rationale).
+_BOWTIE_EDGES_CTE = "WITH edges AS (" + tpch_graph.BOWTIE_EDGES_SQL + ")"
 
 _EDGES_DEG_CTE = _EDGES_CTE + """
 , degs AS (
@@ -241,6 +247,44 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_scc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tpch_graph.copurchase_directed_edges(spark, sf_dir)
     return scc.scc_sizes(spark, edges).orderBy("size")
+
+
+# bounded-horizon multi-source BFS: seeds + depth are part of the declared
+# semantics and appear identically in the recursive-CTE oracle
+_BFS_SEED_MOD, _BFS_SEED_REM, _BFS_MAX_DEPTH = 10, 0, 12
+
+
+def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed hop distances from the mod-sampled seed pages (crawl
+    'clicks from the seed list' metric) on the bow-tie bridge fixture,
+    whose cross-class bridges make multi-hop frontiers non-trivial."""
+    edges = tpch_graph.bowtie_edges(spark, sf_dir)
+    verts = (
+        edges.select(F.col("src").alias("vertex"))
+        .union(edges.select(F.col("dst").alias("vertex")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("vertex") % _BFS_SEED_MOD == _BFS_SEED_REM)
+    return bfs.multi_source_distances(
+        spark, edges, seeds, max_depth=_BFS_MAX_DEPTH
+    ).orderBy("vertex")
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie classes (core/in/out/other) of the directed graph."""
+    edges = tpch_graph.bowtie_edges(spark, sf_dir)
+    return bowtie.bowtie_classes(spark, edges).orderBy("vertex")
+
+
+def _q_bowtie_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = tpch_graph.bowtie_edges(spark, sf_dir)
+    return bowtie.bowtie_summary(spark, edges).orderBy("cls")
+
+
+def _q_directed_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity + source/sink crawl-shape dashboard (1 row)."""
+    edges = tpch_graph.copurchase_directed_edges(spark, sf_dir)
+    return bowtie.directed_graph_stats(spark, edges)
 
 
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,6 +527,16 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document characteristic terms (tf top-3 minus the global
+    top-10 stoplist) — integer-only, so hash-exact vs the oracle. The
+    synthetic corpus's vocabulary is ~31 tokens, so the stoplist is 10
+    here (the operator default of 100 suits real corpora)."""
+    return text.doc_top_terms(_docs(spark, sf_dir), k=3, stoplist_n=10).orderBy(
+        "doc_id", "rank"
+    )
 
 
 def _q_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -751,6 +805,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_sizes": _q_component_sizes,
         "scc": _q_scc,
         "scc_sizes": _q_scc_sizes,
+        "bfs_distances": _q_bfs_distances,
+        "bowtie": _q_bowtie,
+        "bowtie_summary": _q_bowtie_summary,
+        "directed_graph_stats": _q_directed_graph_stats,
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
         "local_clustering": _q_local_clustering,
@@ -773,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
+        "doc_top_terms": _q_doc_top_terms,
         "exact_dup_groups": _q_exact_dups,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_dedup_pairs": _q_minhash_dedup,
@@ -945,6 +1004,14 @@ FROM sym
         "component_sizes": components.component_sizes_oracle_sql(_EDGES_CTE),
         "scc": scc.scc_oracle_sql(_DIRECTED_EDGES_CTE),
         "scc_sizes": scc.scc_sizes_oracle_sql(_DIRECTED_EDGES_CTE),
+        "bfs_distances": bfs.bfs_oracle_sql(
+            _BOWTIE_EDGES_CTE, _BFS_SEED_MOD, _BFS_SEED_REM, _BFS_MAX_DEPTH
+        ),
+        "bowtie": bowtie.bowtie_oracle_sql(_BOWTIE_EDGES_CTE),
+        "bowtie_summary": bowtie.bowtie_summary_oracle_sql(_BOWTIE_EDGES_CTE),
+        "directed_graph_stats": bowtie.directed_graph_stats_oracle_sql(
+            _DIRECTED_EDGES_CTE
+        ),
         "label_propagation": labelprop.label_propagation_oracle_sql(_EDGES_CTE, n_iterations=5),
         # core_numbers: the h-index fixpoint is idempotent, so an unrolled
         # SQL iteration with margin (24 rounds; the sf0.01 graph converges
@@ -1147,6 +1214,28 @@ FROM scores ORDER BY doc_id
 SELECT token, COUNT(*)::BIGINT AS cnt
 FROM (SELECT unnest(toks) AS token FROM toks)
 GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+""",
+        "doc_top_terms": _TOKS_CTE
+        + """
+, tfq AS (
+  SELECT doc_id, token, COUNT(*)::BIGINT AS tf
+  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+  GROUP BY doc_id, token
+)
+, stop AS (
+  SELECT token FROM (
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(toks) AS token FROM toks)
+    GROUP BY token ORDER BY cnt DESC, token LIMIT 10
+  )
+)
+, ranked AS (
+  SELECT doc_id, token, tf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token ASC)::BIGINT
+           AS rank
+  FROM tfq WHERE token NOT IN (SELECT token FROM stop)
+)
+SELECT doc_id, rank, token, tf FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """,
         "doc_fingerprint": """
 SELECT doc_id,

@@ -206,13 +206,12 @@ def scc_sizes(spark: SparkSession, edges: DataFrame, **kwargs) -> DataFrame:
     )
 
 
-def scc_oracle_sql(edges_cte: str) -> str:
-    """Closure oracle: component(v) = min u with v ->* u and u ->* v.
-
-    The forward closure (WITH RECURSIVE, finite because UNION dedups) joined
-    against its own transpose selects exactly the mutually-reachable pairs;
-    the self row (v, v) guarantees every vertex survives the join.
-    """
+def closure_ctes(edges_cte: str) -> str:
+    """CTE chain ending in `fwd(vertex, seen)` — the full forward
+    transitive closure (v ->* seen, reflexive) of the deduped, loop-free
+    directed graph. Shared by the SCC oracle and the bow-tie oracle
+    (operators/bowtie.py), which classifies vertices by reachability
+    to/from the giant SCC over this same closure."""
     return (
         edges_cte
         + """
@@ -227,7 +226,20 @@ def scc_oracle_sql(edges_cte: str) -> str:
     SELECT r.vertex, e.dst AS seen FROM reach r JOIN dedges e ON e.src = r.seen
   )
   SELECT vertex, seen FROM reach
-)
+)"""
+    )
+
+
+def scc_oracle_sql(edges_cte: str) -> str:
+    """Closure oracle: component(v) = min u with v ->* u and u ->* v.
+
+    The forward closure (WITH RECURSIVE, finite because UNION dedups) joined
+    against its own transpose selects exactly the mutually-reachable pairs;
+    the self row (v, v) guarantees every vertex survives the join.
+    """
+    return (
+        closure_ctes(edges_cte)
+        + """
 SELECT a.vertex, MIN(a.seen)::BIGINT AS component
 FROM fwd a JOIN fwd b ON b.vertex = a.seen AND b.seen = a.vertex
 GROUP BY a.vertex ORDER BY a.vertex

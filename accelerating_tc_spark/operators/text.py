@@ -94,6 +94,36 @@ def token_counts(documents: DataFrame, top_n: int = 100) -> DataFrame:
     )
 
 
+def doc_top_terms(documents: DataFrame, k: int = 3, stoplist_n: int = 100) -> DataFrame:
+    """(doc_id, rank, token, tf): each document's k most characteristic
+    terms — highest term frequency AFTER excluding the corpus's global
+    top-`stoplist_n` tokens (a data-derived stoplist, so no hand-curated
+    language list leaks into the contract). Ties break token-ascending;
+    every step is integer arithmetic, so the SQL oracle is hash-exact with
+    no float-rounding fragility.
+
+    Scale posture: tf is a hash aggregate on (doc_id, token); the stoplist
+    is `stoplist_n` rows (broadcast anti-join); ranking partitions by
+    doc_id — per-document windows, never a global sort. The inverted-index
+    building block (token -> doc postings) is the `tf` intermediate.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        documents.select("doc_id", F.explode(tokens_col()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stop = F.broadcast(token_counts(documents, top_n=stoplist_n).select("token"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        tf.join(stop, "token", "left_anti")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "token", "tf")
+    )
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase
     text — the exact-dedup key (SQL-oracle-able in DuckDB)."""

@@ -71,6 +71,41 @@ WHERE a.l_partkey <> b.l_partkey
 """
 
 
+# BOW-TIE fixture: the plain directed graph above is structurally closed —
+# the (src+dst) % 7 = 0 rule only connects residue classes {r, 7-r}, so the
+# four class-islands {0},{1,6},{2,5},{3,4} have NO cross edges and the
+# bow-tie's in/out sets are empty by construction. Adding one-way bridge
+# edges p -> p+1 (sparse: p % 13 = 0) restricted to p % 7 in (0,1,2) makes
+# cross-class movement a DAG on class indices (0->1->2->3) — bridges can
+# never close a cycle, so the SCC islands stay intact while forward/backward
+# reachability to the giant SCC becomes rich: at sf0.01 core=571, in=286,
+# out=1140, other=3 (all four classes populated).
+BOWTIE_EDGES_SQL = (
+    COPURCHASE_DIRECTED_SQL
+    + """
+UNION
+SELECT DISTINCT l_partkey AS src, l_partkey + 1 AS dst
+FROM lineitem WHERE l_partkey % 13 = 0 AND l_partkey % 7 IN (0, 1, 2)
+"""
+)
+
+
+def bowtie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge table matching BOWTIE_EDGES_SQL."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey"
+    )
+    bridges = (
+        li.where((F.col("l_partkey") % 13 == 0) & (F.col("l_partkey") % 7).isin(0, 1, 2))
+        .select(
+            F.col("l_partkey").cast("long").alias("src"),
+            (F.col("l_partkey") + 1).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    return copurchase_directed_edges(spark, sf_dir).union(bridges).distinct()
+
+
 def copurchase_directed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed edge table matching COPURCHASE_DIRECTED_SQL."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(

@@ -304,6 +304,21 @@ def scaling_single(cores: int, n_vertices: int | None = None, n_edges_req: int |
 
     n_v = n_vertices or SCALE_VERTICES
     n_e = n_edges_req or SCALE_EDGES
+    # Cluster-faithful memory provisioning (opt-in): the north rule scales
+    # EXECUTORS N -> 4N, and every added executor brings its own memory —
+    # per-core execution memory is constant on a real cluster. A fixed
+    # local-JVM heap instead DIVIDES memory by the thread count (measured:
+    # 16g/32 threads collapses peak task memory 1309 -> 344 MB and inflates
+    # spill 1.45 -> 11.6 GB on the 24M-edge fixture), which penalizes the
+    # higher level for a resource a cluster would actually have. Setting
+    # SPARK_GRAFT_SCALE_MEM_PER_CORE_MB sizes each visit's heap as
+    # cores x that many MB, holding memory-per-core constant across levels.
+    mem_per_core = os.environ.get("SPARK_GRAFT_SCALE_MEM_PER_CORE_MB")
+    driver_mem = f"{cores * int(mem_per_core)}m" if mem_per_core else os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "16g"
+    )
+    if mem_per_core:
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = driver_mem
     log_dir, elog_conf = event_log_conf()
     spark = get_spark(
         f"bench_scale_{cores}", cores=cores, shuffle_partitions=cores,
@@ -365,6 +380,7 @@ def scaling_single(cores: int, n_vertices: int | None = None, n_edges_req: int |
                 "triangles_per_sec": round(tri / dt, 1),
                 "n_edges": n_edges,
                 "n_blocks": chosen_b,
+                "driver_mem": driver_mem,
                 "work_per_run": per_run,
             }
         )
@@ -489,6 +505,7 @@ def run_scaling() -> None:
             "sec": {str(c): best[c]["sec"] for c in (a, b)},
             "triangles_per_sec": {str(c): best[c]["triangles_per_sec"] for c in (a, b)},
             "n_blocks": {str(c): best[c]["n_blocks"] for c in (a, b)},
+            "driver_mem": {str(c): best[c].get("driver_mem") for c in (a, b)},
             "visits": {str(c): [r["sec"] for r in vs] for c, vs in visits.items()},
             "raw_eff": raw,
             "parity": len(tris) == 1,

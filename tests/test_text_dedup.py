@@ -73,6 +73,34 @@ def test_token_counts(spark):
     assert got == expected
 
 
+def test_doc_top_terms(spark):
+    docs = make_docs(spark)
+    k, stop_n = 2, 3
+    got = [
+        (r["doc_id"], r["rank"], r["token"], r["tf"])
+        for r in text.doc_top_terms(docs, k=k, stoplist_n=stop_n)
+        .orderBy("doc_id", "rank")
+        .collect()
+    ]
+    from collections import Counter
+
+    corpus = Counter()
+    rows = make_docs(spark).collect()
+    for _, t, _ in rows:
+        corpus.update(py_tokens(t))
+    stop = {t for t, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[:stop_n]}
+    expected = []
+    for did, t, _ in sorted(rows):
+        tf = Counter(tok for tok in py_tokens(t) if tok not in stop)
+        for rank, (tok, n) in enumerate(
+            sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:k], start=1
+        ):
+            expected.append((did, rank, tok, n))
+    assert got == expected
+    # empty doc (8) contributes no rows; ranks are 1..k contiguous per doc
+    assert all(r[0] != 8 for r in got)
+
+
 def test_fingerprint_and_exact_dedup(spark):
     docs = make_docs(spark)
     fp = {r["doc_id"]: r["fingerprint"] for r in text.doc_fingerprint(docs).collect()}
