@@ -26,6 +26,7 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 from accelerating_tc_spark.operators import (  # noqa: E402
+    anf,
     bfs,
     bowtie,
     components,
@@ -37,6 +38,7 @@ from accelerating_tc_spark.operators import (  # noqa: E402
     maxclique,
     order,
     pagerank,
+    linkpred,
     peel,
     prep,
     scc,
@@ -285,6 +287,60 @@ def _q_directed_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocity + source/sink crawl-shape dashboard (1 row)."""
     edges = tpch_graph.copurchase_directed_edges(spark, sf_dir)
     return bowtie.directed_graph_stats(spark, edges)
+
+
+def _q_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCC condensation DAG of the bow-tie fixture (the bridge edges make
+    the condensation non-trivial: class-DAG arcs plus tendril arcs)."""
+    edges = tpch_graph.bowtie_edges(spark, sf_dir)
+    return scc.condensation_edges(spark, edges).orderBy("src_scc", "dst_scc")
+
+
+# ANF contract: horizon + HLL precision + tolerance declared once, used by
+# the Spark rows and the oracle identically (bounded-BFS discipline)
+_ANF_MAX_T, _ANF_LG_K, _ANF_TOL = 4, 12, 0.05
+
+
+def _q_anf_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood function — approximate by design (Datasketches
+    HLL), so rows-only; quality is driver-gated by anf_error below."""
+    edges = tpch_graph.bowtie_edges(spark, sf_dir)
+    return anf.neighborhood_function(
+        spark, edges, max_t=_ANF_MAX_T, lg_k=_ANF_LG_K
+    ).orderBy("t")
+
+
+def _q_anf_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked quality gate for HyperANF: exact N(t) (integer,
+    hash-checked against the recursive-CTE oracle) + a within-tolerance
+    boolean the oracle asserts TRUE (ann_lsh_recall discipline)."""
+    edges = tpch_graph.bowtie_edges(spark, sf_dir)
+    return anf.anf_error_gate(
+        spark, edges, max_t=_ANF_MAX_T, lg_k=_ANF_LG_K, tol=_ANF_TOL
+    )
+
+
+def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon inbound harmonic centrality on the bow-tie graph."""
+    edges = tpch_graph.bowtie_edges(spark, sf_dir)
+    return anf.harmonic_centrality(spark, edges, max_t=_ANF_MAX_T).orderBy("vertex")
+
+
+# link-prediction contract params (declared semantics, mirrored in SQL):
+# the co-purchase graph is dense (1.9M open wedge-pairs at sf0.01), so the
+# contract keeps the strong candidates (>= 20 common neighbors -> 954
+# rows); no center cap at this scale
+_LP_MIN_COMMON, _LP_CENTER_CAP = 20, None
+
+
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Adamic-Adar / Jaccard scores for non-adjacent
+    pairs of the undirected co-purchase graph."""
+    return linkpred.common_neighbor_scores(
+        _canonical(spark, sf_dir),
+        min_common=_LP_MIN_COMMON,
+        max_center_degree=_LP_CENTER_CAP,
+    ).orderBy("u", "v")
 
 
 def _q_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,6 +865,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": _q_bowtie,
         "bowtie_summary": _q_bowtie_summary,
         "directed_graph_stats": _q_directed_graph_stats,
+        "condensation": _q_condensation,
+        "anf_hll": _q_anf_hll,
+        "anf_error": _q_anf_error,
+        "harmonic_centrality": _q_harmonic_centrality,
+        "link_prediction": _q_link_prediction,
         "label_propagation": _q_labelprop,
         "core_numbers": _q_core_numbers,
         "local_clustering": _q_local_clustering,
@@ -1011,6 +1072,13 @@ FROM sym
         "bowtie_summary": bowtie.bowtie_summary_oracle_sql(_BOWTIE_EDGES_CTE),
         "directed_graph_stats": bowtie.directed_graph_stats_oracle_sql(
             _DIRECTED_EDGES_CTE
+        ),
+        "condensation": scc.condensation_oracle_sql(_BOWTIE_EDGES_CTE),
+        # anf_hll: approximate by design -> rows-only; gated by anf_error
+        "anf_error": anf.anf_exact_oracle_sql(_BOWTIE_EDGES_CTE, _ANF_MAX_T),
+        "harmonic_centrality": anf.harmonic_oracle_sql(_BOWTIE_EDGES_CTE, _ANF_MAX_T),
+        "link_prediction": linkpred.common_neighbor_scores_oracle_sql(
+            _EDGES_CTE, _LP_MIN_COMMON, _LP_CENTER_CAP
         ),
         "label_propagation": labelprop.label_propagation_oracle_sql(_EDGES_CTE, n_iterations=5),
         # core_numbers: the h-index fixpoint is idempotent, so an unrolled

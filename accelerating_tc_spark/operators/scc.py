@@ -206,6 +206,54 @@ def scc_sizes(spark: SparkSession, edges: DataFrame, **kwargs) -> DataFrame:
     )
 
 
+def condensation_edges(spark: SparkSession, edges: DataFrame, **kwargs) -> DataFrame:
+    """(src_scc, dst_scc): the distinct edges of the CONDENSATION — the DAG
+    obtained by contracting every SCC to its component id (the minimum
+    vertex id, matching strongly_connected_components). The condensation is
+    the object bow-tie analysis and crawl-frontier scheduling actually walk:
+    acyclic by construction, typically orders of magnitude smaller than the
+    graph (the giant SCC is one node).
+
+    Scale posture: two hash joins mapping edge endpoints through the SCC
+    assignment plus a distinct — all keyed on vertex/component ids; output
+    is bounded by the edge count and usually far smaller."""
+    assign = strongly_connected_components(spark, edges, **kwargs)
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .distinct()
+    )
+    a_src = assign.select(F.col("vertex").alias("src"), F.col("component").alias("src_scc"))
+    a_dst = assign.select(F.col("vertex").alias("dst"), F.col("component").alias("dst_scc"))
+    return (
+        e.join(a_src, "src")
+        .join(a_dst, "dst")
+        .where(F.col("src_scc") != F.col("dst_scc"))
+        .select("src_scc", "dst_scc")
+        .distinct()
+    )
+
+
+def condensation_oracle_sql(edges_cte: str) -> str:
+    """Condensation edges over the closure-derived SCC assignment."""
+    return (
+        closure_ctes(edges_cte)
+        + """
+, assign AS (
+  SELECT a.vertex, MIN(a.seen) AS component
+  FROM fwd a JOIN fwd b ON b.vertex = a.seen AND b.seen = a.vertex
+  GROUP BY a.vertex
+)
+SELECT DISTINCT s.component::BIGINT AS src_scc, d.component::BIGINT AS dst_scc
+FROM dedges e
+JOIN assign s ON s.vertex = e.src
+JOIN assign d ON d.vertex = e.dst
+WHERE s.component <> d.component
+ORDER BY src_scc, dst_scc
+"""
+    )
+
+
 def closure_ctes(edges_cte: str) -> str:
     """CTE chain ending in `fwd(vertex, seen)` — the full forward
     transitive closure (v ->* seen, reflexive) of the deduped, loop-free

@@ -173,3 +173,46 @@ def test_directed_fixture_oracle_parity_duckdb(spark, sf_tiny):
     for c in got.values():
         sizes[c] = sizes.get(c, 0) + 1
     assert max(sizes.values()) >= 2
+
+
+def python_condensation(pairs) -> set[tuple[int, int]]:
+    comp = python_scc(pairs)
+    return {
+        (comp[a], comp[b])
+        for a, b in {(a, b) for a, b in pairs if a != b}
+        if comp[a] != comp[b]
+    }
+
+
+def test_condensation_two_cycles_one_bridge(spark):
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r["src_scc"], r["dst_scc"]) for r in scc.condensation_edges(spark, df).collect()}
+    assert got == {(1, 4)}
+
+
+def test_condensation_random_parity_and_acyclic(spark):
+    import random
+
+    rng = random.Random(23)
+    pairs = list({(rng.randrange(40), rng.randrange(40)) for _ in range(140)})
+    df = spark.createDataFrame(pairs, "src long, dst long")
+    got = {(r["src_scc"], r["dst_scc"]) for r in scc.condensation_edges(spark, df).collect()}
+    assert got == python_condensation(pairs)
+    # the condensation must be a DAG: Kahn's algorithm consumes every node
+    nodes = {v for e in got for v in e}
+    indeg = {v: 0 for v in nodes}
+    outs = {v: [] for v in nodes}
+    for a, b in got:
+        indeg[b] += 1
+        outs[a].append(b)
+    q = [v for v in nodes if indeg[v] == 0]
+    seen = 0
+    while q:
+        v = q.pop()
+        seen += 1
+        for w in outs[v]:
+            indeg[w] -= 1
+            if indeg[w] == 0:
+                q.append(w)
+    assert seen == len(nodes)
