@@ -40,7 +40,9 @@ def connected_components_run(
         raise ValueError(f"unknown algorithm: {algorithm}")
     n_part = spark.sparkContext.defaultParallelism
     sym_raw = prep.symmetrize(canonical)
-    verts = sym_raw.select(F.col("src").alias("vertex")).distinct()
+    # verts is read twice (self-loop fold + init): cache it so the distinct
+    # over the ~2|E|-row symmetrized table runs once, not twice (r7)
+    verts = sym_raw.select(F.col("src").alias("vertex")).distinct().cache()
     # self-loops folded into the cached relation make min(own, nbr-min)
     # a SINGLE aggregate — the old separate keep-own-component left join
     # was one of three per-round joins, for the same fixpoint
@@ -70,12 +72,24 @@ def connected_components_run(
             "vertex", F.least("component", F.coalesce("jumped", "component")).alias("component")
         )
 
+    # Convergence via the label-sum invariant instead of the old
+    # join-old-with-new changed-row count (r7): labels only ever decrease,
+    # so the state is a fixpoint iff sum(component) is unchanged — one tiny
+    # aggregate job per round over the just-materialized state replaces a
+    # two-sided join + count. Decimal(38) sum is exact for any long ids.
+    prev_sum: list = [None]
+
+    def _comp_sum(df: DataFrame):
+        s = df.agg(F.sum(F.col("component").cast("decimal(38,0)")).alias("s")).first()["s"]
+        return s if s is not None else 0
+
     def delta_fn(old: DataFrame, new: DataFrame) -> float:
-        o = old.withColumnRenamed("component", "old_comp")
-        changed = (
-            new.join(o, "vertex").where(F.col("component") != F.col("old_comp")).count()
-        )
-        return float(changed)
+        if prev_sum[0] is None:
+            prev_sum[0] = _comp_sum(old)
+        s = _comp_sum(new)
+        d = float(prev_sum[0] - s)
+        prev_sum[0] = s
+        return d
 
     run = supersteps.iterate(
         spark,
@@ -87,7 +101,7 @@ def connected_components_run(
         checkpoint_dir=checkpoint_dir,
         on_nonconverged="raise",  # exact-semantics operator
     )
-    return supersteps.finalize(run, sym)
+    return supersteps.finalize(run, sym, verts)
 
 
 def connected_components(

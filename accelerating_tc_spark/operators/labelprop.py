@@ -33,24 +33,56 @@ def label_propagation_run(
     init = sym.select(F.col("src").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("label")
     )
+    # argmax encoding guard (see step): packing (cnt, label) into one long
+    # needs 0 <= label < 2^31; vertex ids are labels, so one cheap bounds
+    # job decides the fast path for the whole run. cnt <= degree < |V| <=
+    # max_id+1 < 2^31, so cnt*2^31 + (2^31-1-label) < 2^62 never overflows.
+    bounds = canonical.agg(
+        F.min(F.least("src", "dst")).alias("lo"), F.max(F.greatest("src", "dst")).alias("hi")
+    ).first()
+    packable = (
+        bounds["lo"] is not None and bounds["lo"] >= 0 and bounds["hi"] < (1 << 31)
+    )
+    _HALF = 1 << 31
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        nbr_labels = (
+        # ONE exchange per round: the raw (dst-vertex, label) contribution
+        # rows are hash-partitioned by vertex once, and every aggregate
+        # after that (count per (vertex, label), argmax per vertex) runs
+        # exchange-free because hash(vertex) already clusters both keys.
+        # The old shape aggregated by (vertex, label) first — a second
+        # exchange — and its max(struct(cnt, -label)) argmax planned as a
+        # SortAggregate (struct aggregation buffers are not hash-aggregable),
+        # sorting the ~|E|-row label table twice per round.
+        contribs = (
             sym.join(state, sym["src"] == state["vertex"])
             .select(F.col("dst").alias("vertex"), "label")
-            .groupBy("vertex", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .repartition(n_part, "vertex")
         )
-        # argmax by (cnt DESC, label ASC) as a plain hash aggregate:
-        # max(struct(cnt, -label)) — no sort-window over the (vertex,
-        # label) table (early rounds have ~|E| such rows; a partitioned
-        # row_number sorts them all). Every vertex of the symmetrized
-        # graph receives neighbor labels, so this yields one row per
-        # vertex — no keep-own-label left join needed either (the
-        # oracle's COALESCE branch is never taken without isolated
+        nbr_labels = contribs.groupBy("vertex", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        # Every vertex of the symmetrized graph receives neighbor labels,
+        # so one row per vertex comes out — no keep-own-label left join
+        # (the oracle's COALESCE branch is never taken without isolated
         # vertices).
-        return nbr_labels.groupBy("vertex").agg(
-            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).getField("nl")).alias("label")
+        if packable:
+            # argmax by (cnt DESC, label ASC) as a single long-typed hash
+            # aggregate: max(cnt * 2^31 + (2^31-1-label)); decode label.
+            enc = F.col("cnt") * F.lit(_HALF) + (F.lit(_HALF - 1) - F.col("label"))
+            return nbr_labels.groupBy("vertex").agg(
+                (F.lit(_HALF - 1) - F.pmod(F.max(enc), F.lit(_HALF))).alias("label")
+            )
+        # generic-id fallback (64-bit/negative labels): max count per vertex
+        # (hash agg), then min label among the tied rows — still hash-only
+        # and exchange-free on the vertex partitioning; nbr_labels' shuffle
+        # is computed once and reused by both branches (ReuseExchange).
+        best = nbr_labels.groupBy("vertex").agg(F.max("cnt").alias("best_cnt"))
+        return (
+            nbr_labels.join(best, "vertex")
+            .where(F.col("cnt") == F.col("best_cnt"))
+            .groupBy("vertex")
+            .agg(F.min("label").alias("label"))
         )
 
     run = supersteps.iterate(
@@ -59,8 +91,12 @@ def label_propagation_run(
         step,
         max_iterations=n_iterations,
         checkpoint_dir=checkpoint_dir,
-        # fixed-round unmetered mode: lineage cut every 2 rounds
-        checkpoint_every=2,
+        # fixed-round unmetered mode: state feeds each next round exactly
+        # once (linear lazy chain, executed stage-by-stage in one job), so
+        # mid-run lineage cuts only add materialization jobs — cut at the
+        # end only (r7; was every 2). The plan depth stays bounded by
+        # n_iterations, which callers keep small in fixed-round mode.
+        checkpoint_every=n_iterations,
     )
     return supersteps.finalize(run, sym)
 

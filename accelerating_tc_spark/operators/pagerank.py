@@ -89,10 +89,12 @@ def pagerank_run(
         delta_fn=delta_fn,
         tolerance=tolerance or 0.0,
         checkpoint_dir=checkpoint_dir,
-        # fixed-iteration unmetered mode: cut lineage every 3 rounds instead
-        # of eagerly materializing each one (supersteps keeps every round
-        # eager whenever delta_fn or a checkpoint dir needs it)
-        checkpoint_every=1 if tolerance is not None else 3,
+        # fixed-iteration unmetered mode: the rank state feeds each next
+        # round exactly once (linear lazy chain), so mid-run lineage cuts
+        # only add materialization jobs — cut at the end only (r7; was
+        # every 3). Convergence mode still materializes every round for
+        # delta_fn.
+        checkpoint_every=1 if tolerance is not None else n_iterations,
     )
     return supersteps.finalize(run, verts, edges_od)
 
@@ -203,7 +205,9 @@ def personalized_pagerank_run(
         step,
         max_iterations=n_iterations,
         checkpoint_dir=checkpoint_dir,
-        checkpoint_every=3,
+        # linear lazy chain (state feeds each round once): cut at the end
+        # only, as in pagerank_run (r7)
+        checkpoint_every=n_iterations,
     )
     return supersteps.finalize(run, verts, verts_s, edges_od)
 

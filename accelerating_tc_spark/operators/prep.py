@@ -156,8 +156,10 @@ def compact_ids(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def adjacency(oriented: DataFrame) -> DataFrame:
     """(src, nbrs sorted array) — the CSR analog: one row per vertex with
-    out-neighbors as a sorted ArrayType column."""
-    return oriented.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    out-neighbors as a sorted ArrayType column. Callers feed canonical
+    (distinct) edge rows, so collect_list equals collect_set minus the
+    per-group hash-set overhead (r7)."""
+    return oriented.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
 
 
 def out_degrees(oriented: DataFrame) -> DataFrame:

@@ -115,6 +115,20 @@ _MAX_HUB_ENTRIES = 1 << 22
 # each row's adjacency is orientation-bounded (O(sqrt m)).
 _MAX_HUB_ROWS = 4096
 
+# Broadcast-route budget (bytes of int64 adjacency entries): when the WHOLE
+# oriented adjacency fits, it is cheaper to ship it once to every worker
+# than to replicate per-block shards through a 2B·|adj| shuffle. The budget
+# is PER PYTHON WORKER (each concurrent task holds one deserialized copy),
+# so size it as overhead_memory / cores, not "as big as a broadcast can be":
+# 64 MiB × 32 local workers = 2 GiB peak — comfortable here and on a
+# production executor with cores×(128..256 MiB) overhead. Override with
+# SPARK_GRAFT_TC_BROADCAST_MAX_MB; 0 disables the route.
+import os as _os
+
+_TC_BROADCAST_MAX_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_TC_BROADCAST_MAX_MB", "64")
+) << 20
+
 
 def _cogroup_partials(edges_b: DataFrame, adj_rep: DataFrame) -> DataFrame:
     """Block-pair cogroup partial counts: (triangles, task_s) per pair."""
@@ -151,18 +165,68 @@ def _cogroup_partials(edges_b: DataFrame, adj_rep: DataFrame) -> DataFrame:
     )
 
 
+def _broadcast_partials(oriented: DataFrame) -> DataFrame:
+    """Single-shard broadcast route (guide §3.1: broadcast the side that
+    fits): the whole oriented adjacency is built as one CSR on the driver
+    and shipped once; the cached edge partitions stream through the probe
+    kernel in place. Zero shuffle (the cogroup route pays |E| + 2B·|adj|
+    exchange bytes), no adjacency groupBy, no block replication. Engaged
+    at runtime only when 16·|E| bytes fit _TC_BROADCAST_MAX_BYTES, so at
+    scale the bounded-shuffle cogroup plan takes over unchanged."""
+    import pyarrow as pa
+
+    spark = oriented.sparkSession
+    pdf = oriented.select("src", "dst").toPandas()
+    shard = CsrShard.from_flat(
+        pdf["src"].to_numpy(dtype=np.int64, copy=False),
+        pdf["dst"].to_numpy(dtype=np.int64, copy=False),
+    )
+    bc = spark.sparkContext.broadcast(
+        (shard.vertices, shard.starts, shard.ends, shard.flat)
+    )
+
+    def probe(batches):
+        v, s, e, fl = bc.value
+        sh = CsrShard(v, s, e, fl)
+        for rb in batches:
+            t0 = time.time()
+            tbl = pa.Table.from_batches([rb])
+            src = np.asarray(
+                tbl.column("src").to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            dst = np.asarray(
+                tbl.column("dst").to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            total = int(intersect_count_csr(sh, src, dst).sum())
+            yield pa.record_batch(
+                {
+                    "triangles": pa.array([total], type=pa.int64()),
+                    "task_s": pa.array([time.time() - t0], type=pa.float64()),
+                }
+            )
+
+    return oriented.select("src", "dst").mapInArrow(probe, schema=_PARTIAL_SCHEMA)
+
+
 def _blocked_partials(
     oriented: DataFrame,
     n_blocks: int | None = None,
     hub_threshold: int | None = None,
     deg: DataFrame | None = None,
+    allow_broadcast: bool = True,
 ) -> tuple[DataFrame, list[DataFrame], int]:
     """Skew-aware blocked plan: per-task partial counts (triangles, task_s).
 
     Returns (partials, cached_relations_to_unpersist, chosen_n_blocks).
     n_blocks=None auto-derives B from cores + adjacency size
     (plans.blocking.auto_n_blocks, the `cal_part_num` analog); an explicit
-    int pins it (A/B tests, cross-round comparability).
+    int pins it (A/B tests, cross-round comparability) and also pins the
+    cogroup route. With n_blocks=None, hub route off, and the adjacency
+    small enough for the per-worker broadcast budget, the zero-shuffle
+    broadcast-CSR route is taken instead (reported as n_blocks=1; see
+    _broadcast_partials; allow_broadcast=False opts out — used by
+    blocked_task_stats so skew diagnostics always describe the cogroup
+    plan).
 
     Two physical routes, split by TOTAL degree (the number of edges that
     reference a vertex's adjacency — in-degree is NOT bounded by the degree
@@ -196,6 +260,27 @@ def _blocked_partials(
     grows B for shard memory, so this is rare by construction).
     """
     spark = oriented.sparkSession
+    if hub_threshold is None:
+        # hub route off (the default, see docstring): degree statistics are
+        # not needed at all — |E| alone drives auto-B and the broadcast
+        # decision, and callers' cached `oriented` makes count() ~free
+        # (r7: removes the explode+groupBy degree job the old stats pass
+        # paid on every call).
+        n_edges = oriented.count()
+        if (
+            allow_broadcast
+            and n_blocks is None
+            and 16 * n_edges <= _TC_BROADCAST_MAX_BYTES
+        ):
+            return _broadcast_partials(oriented), [], 1
+        if n_blocks is None:
+            n_blocks = auto_n_blocks(spark.sparkContext.defaultParallelism, n_edges)
+        partials = _cogroup_partials(
+            tag_edge_blocks(oriented, n_blocks),
+            replicate_adjacency(prep.adjacency(oriented), n_blocks),
+        )
+        return partials, [], n_blocks
+
     if deg is None:
         # callers that already computed degrees for the orientation should
         # pass them in — total degree is orientation-invariant
@@ -211,8 +296,6 @@ def _blocked_partials(
         n_blocks = auto_n_blocks(
             spark.sparkContext.defaultParallelism, int(stats["two_m"] or 0) // 2
         )
-    if hub_threshold is None:
-        hub_threshold = 1 << 62  # hub route off by default (see docstring)
 
     if stats["max_deg"] is None or stats["max_deg"] < hub_threshold:
         # no hubs: pure bounded-shuffle cogroup, zero hub-path overhead
@@ -399,7 +482,9 @@ def blocked_task_stats(
     seconds. Used by bench to show max/median task time before vs after hub
     routing, and to record the auto-B choice per scaling level."""
     spark = oriented.sparkSession
-    partials, caches, chosen_b = _blocked_partials(oriented, n_blocks, hub_threshold, deg=deg)
+    partials, caches, chosen_b = _blocked_partials(
+        oriented, n_blocks, hub_threshold, deg=deg, allow_broadcast=False
+    )
     row = partials.agg(
         F.coalesce(F.sum("triangles"), F.lit(0)).cast("long").alias("triangles"),
         F.count(F.lit(1)).alias("n_tasks"),

@@ -1,0 +1,321 @@
+"""Round-7 optimization harness: per-query isolation timing + plan capture.
+
+NOT part of the driver contract (bench.py is frozen for measurement). This
+file exists so the optimization round can (guide §1):
+  - time each headline query in isolation (fresh session, min-of-N, noop-style
+    terminal actions identical to bench.py's),
+  - capture .explain("formatted") for every query shape we touch, into
+    plans/r07/<query>_{before,after}.txt,
+  - A/B a single query quickly without paying for the whole suite.
+
+Usage:
+  python bench_extra.py --plans plans/r07 --suffix before
+  python bench_extra.py --time label_propagation5 [--rounds 3]
+  python bench_extra.py --suite [--rounds 3]     # all 7, one session, same
+                                                 # protocol as bench.py
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+from contextlib import redirect_stdout
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
+
+def _spark():
+    from accelerating_tc_spark.session import get_spark
+
+    return get_spark("bench_extra", cores=CPUS, shuffle_partitions=CPUS)
+
+
+def _graph(spark):
+    from accelerating_tc_spark.operators import prep
+    from accelerating_tc_spark.sources import tpch_graph
+
+    canonical = prep.canonicalize_edges(tpch_graph.copurchase_edges(spark, SF_DIR))
+    canonical = canonical.repartition(spark.sparkContext.defaultParallelism, "src").cache()
+    n_edges = canonical.count()
+    return canonical, n_edges
+
+
+def _explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def capture_plans(outdir: str, suffix: str) -> None:
+    """Write .explain('formatted') for each headline query shape.
+
+    Iterative queries (pagerank/cc/lp) are captured as ONE superstep's plan
+    (step(init)) — the repeated unit the optimization targets; the full
+    state plan after n rounds is just that unit chained."""
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import (
+        components,
+        labelprop,
+        pagerank,
+        prep,
+        triangles,
+    )
+
+    spark = _spark()
+    canonical, n_edges = _graph(spark)
+    os.makedirs(outdir, exist_ok=True)
+    plans: dict[str, str] = {}
+
+    oriented = prep.orient_by_degree(canonical)
+    plans["orient"] = _explain_str(oriented)
+    oriented = oriented.cache()
+    oriented.count()
+
+    from accelerating_tc_spark.operators.triangles import _blocked_partials
+
+    partials, caches, nb = _blocked_partials(oriented)
+    plans["tc_blocked"] = f"-- n_blocks={nb}\n" + _explain_str(
+        partials.agg(F.coalesce(F.sum("triangles"), F.lit(0)).alias("t"))
+    )
+    for c in caches:
+        c.unpersist()
+
+    plans["tc_array_intersect"] = _explain_str(
+        triangles.triangle_count_array_intersect(oriented)
+    )
+
+    # one superstep each: build the loop-invariant relations exactly as the
+    # operator does, then explain one round's output
+    plans["pagerank10_round"] = _pagerank_round_plan(spark, canonical)
+    plans["connected_components_round"] = _cc_round_plan(spark, canonical)
+    plans["label_propagation5_round"] = _lp_round_plan(spark, canonical)
+
+    plans["degree_histogram"] = _explain_str(prep.degree_histogram(canonical))
+    oriented.unpersist()
+    spark.stop()
+
+    for name, text in plans.items():
+        p = Path(outdir) / f"{name}_{suffix}.txt"
+        p.write_text(text)
+        print(f"wrote {p}")
+
+
+def _pagerank_round_plan(spark, canonical) -> str:
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import prep
+
+    n_part = spark.sparkContext.defaultParallelism
+    sym = prep.symmetrize(canonical)
+    verts = sym.select(F.col("src").alias("vertex")).distinct().repartition(n_part, "vertex").cache()
+    n = verts.count()
+    out_deg = sym.groupBy(F.col("src").alias("vertex")).agg(F.count(F.lit(1)).alias("out_degree"))
+    edges_od = (
+        sym.join(out_deg, sym["src"] == out_deg["vertex"])
+        .select("src", "dst", "out_degree")
+        .repartition(n_part, "src")
+        .cache()
+    )
+    edges_od.count()
+    init = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
+    state = init.localCheckpoint(eager=True)
+    base = 0.15 / n
+    one_round = (
+        edges_od.join(state, edges_od["src"] == state["vertex"])
+        .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("out_degree")).alias("c"))
+        .groupBy("vertex")
+        .agg((F.lit(base) + F.lit(0.85) * F.sum("c")).alias("rank"))
+    )
+    out = _explain_str(one_round)
+    verts.unpersist()
+    edges_od.unpersist()
+    return out
+
+
+def _cc_round_plan(spark, canonical) -> str:
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import prep
+
+    n_part = spark.sparkContext.defaultParallelism
+    sym_raw = prep.symmetrize(canonical)
+    verts = sym_raw.select(F.col("src").alias("vertex")).distinct()
+    sym = (
+        sym_raw.union(verts.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst")))
+        .repartition(n_part, "src")
+        .cache()
+    )
+    init = verts.select("vertex", F.col("vertex").alias("component"))
+    state = init.localCheckpoint(eager=True)
+    cand = (
+        sym.join(state, sym["src"] == state["vertex"])
+        .select(F.col("dst").alias("vertex"), F.col("component").alias("nbr_comp"))
+        .groupBy("vertex")
+        .agg(F.min("nbr_comp").alias("component"))
+    )
+    lbl = state.select(F.col("vertex").alias("component"), F.col("component").alias("jumped"))
+    one_round = cand.join(lbl, "component", "left").select(
+        "vertex", F.least("component", F.coalesce("jumped", "component")).alias("component")
+    )
+    out = _explain_str(one_round)
+    sym.unpersist()
+    return out
+
+
+def _lp_round_plan(spark, canonical) -> str:
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import labelprop, prep
+
+    n_part = spark.sparkContext.defaultParallelism
+    sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
+    init = sym.select(F.col("src").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("label")
+    )
+    state = init.localCheckpoint(eager=True)
+    run = labelprop.label_propagation_run  # noqa: F841  (import kept close)
+    nbr_labels = (
+        sym.join(state, sym["src"] == state["vertex"])
+        .select(F.col("dst").alias("vertex"), "label")
+        .groupBy("vertex", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    one_round = nbr_labels.groupBy("vertex").agg(
+        (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).getField("nl")).alias("label")
+    )
+    out = _explain_str(one_round)
+    sym.unpersist()
+    return out
+
+
+def run_suite(rounds: int) -> None:
+    """Same protocol as bench.py's headline (min-of-N interleaved), same
+    terminal actions, printed as one JSON line — for quick A/B during the
+    round without touching the frozen bench.py."""
+    import bench
+
+    spark = _spark()
+    t0 = time.time()
+    times, extras, visits = bench.run_headline(spark, SF_DIR, rounds)
+    wall = round(time.time() - t0, 3)
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "bench_extra_suite",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "visits": visits,
+                "wall_total": wall,
+                "triangles": extras.get("triangles"),
+            }
+        )
+    )
+
+
+def time_one(name: str, rounds: int) -> None:
+    """Isolated min-of-N timing for one headline query (fresh session)."""
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import (
+        components,
+        labelprop,
+        pagerank,
+        prep,
+        triangles,
+    )
+
+    spark = _spark()
+    canonical, n_edges = _graph(spark)
+
+    def once() -> tuple[float, object]:
+        oriented = None
+        if name in ("orient", "tc_blocked", "tc_array_intersect"):
+            oriented = prep.orient_by_degree(canonical).cache()
+        if name == "orient":
+            t0 = time.time()
+            out = oriented.count()
+            dt = time.time() - t0
+        elif name == "tc_blocked":
+            oriented.count()
+            t0 = time.time()
+            out = triangles.triangle_count_blocked(oriented).collect()[0]["triangles"]
+            dt = time.time() - t0
+        elif name == "tc_array_intersect":
+            oriented.count()
+            t0 = time.time()
+            out = triangles.triangle_count_array_intersect(oriented).collect()[0]["triangles"]
+            dt = time.time() - t0
+        elif name == "pagerank10":
+            t0 = time.time()
+            run = pagerank.pagerank_run(spark, canonical, n_iterations=10)
+            out = run.state.count()
+            dt = time.time() - t0
+        elif name == "connected_components":
+            t0 = time.time()
+            run = components.connected_components_run(spark, canonical)
+            out = run.state.count()
+            dt = time.time() - t0
+        elif name == "label_propagation5":
+            t0 = time.time()
+            run = labelprop.label_propagation_run(spark, canonical, n_iterations=5)
+            out = run.state.count()
+            dt = time.time() - t0
+        elif name == "degree_histogram":
+            t0 = time.time()
+            out = prep.degree_histogram(canonical).agg(F.sum("n_vertices")).collect()
+            dt = time.time() - t0
+        else:
+            raise ValueError(name)
+        if oriented is not None:
+            oriented.unpersist()
+        return dt, out
+
+    visits = []
+    result = None
+    for _ in range(rounds + 1):  # +1 warm-up pass, excluded by min anyway
+        dt, out = once()
+        visits.append(round(dt, 3))
+        result = out
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "min_s": min(visits[1:]),
+                "visits": visits,
+                "result": str(result)[:80],
+                "n_edges": n_edges,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    argv = sys.argv[1:]
+    if "--plans" in argv:
+        i = argv.index("--plans")
+        outdir = argv[i + 1]
+        suffix = argv[argv.index("--suffix") + 1] if "--suffix" in argv else "before"
+        capture_plans(outdir, suffix)
+    elif "--time" in argv:
+        i = argv.index("--time")
+        rounds = int(argv[argv.index("--rounds") + 1]) if "--rounds" in argv else 3
+        time_one(argv[i + 1], rounds)
+    elif "--suite" in argv:
+        rounds = int(argv[argv.index("--rounds") + 1]) if "--rounds" in argv else 3
+        run_suite(rounds)
+    else:
+        print(__doc__)

@@ -229,6 +229,30 @@ def test_label_propagation_matches_python(spark, graph):
     assert got == python_label_prop(pairs, n_iter=5)
 
 
+def test_label_propagation_big_ids_fallback(spark, graph):
+    """Vertex ids beyond 2^31 must route the argmax through the generic
+    max-count + min-label path (the r7 packed-long fast path is guarded by
+    an id-bounds check). Shifting every id by a constant is a label-
+    propagation homomorphism (counts unchanged, min-label tie-break order
+    preserved), so the shifted run must equal the small-id run + offset."""
+    from pyspark.sql import functions as F
+
+    pairs, canonical = graph
+    off = 1 << 33
+    shifted = canonical.select(
+        (F.col("src") + off).alias("src"), (F.col("dst") + off).alias("dst")
+    )
+    small = {
+        r["vertex"]: r["label"]
+        for r in labelprop.label_propagation(spark, canonical, n_iterations=3).collect()
+    }
+    big = {
+        r["vertex"]: r["label"]
+        for r in labelprop.label_propagation(spark, shifted, n_iterations=3).collect()
+    }
+    assert big == {v + off: lbl + off for v, lbl in small.items()}
+
+
 def test_core_numbers_exact(spark, graph):
     pairs, canonical = graph
     got = {r["vertex"]: r["core"] for r in kcore.core_numbers(spark, canonical).collect()}

@@ -43,6 +43,28 @@ def test_hub_graph_all_strategies_agree(spark):
         assert got == expected
 
 
+def test_blocked_broadcast_route_parity(spark, monkeypatch):
+    """n_blocks=None on a small graph engages the r7 broadcast-CSR route;
+    it must agree with the numpy oracle, with the budget kill switch
+    forcing the cogroup plan back on, and with 64-bit sparse ids (the
+    kernel's rank compression)."""
+    from pyspark.sql import functions as F
+
+    from accelerating_tc_spark.operators import triangles as T
+
+    pairs = synthetic.powerlaw_edge_pairs(300, 1500, seed=7)
+    expected = synthetic.numpy_triangle_count(pairs)
+    edges = synthetic.edges_df(spark, pairs.tolist())
+    assert _count(triangles.count_triangles(edges, strategy="blocked")) == expected
+    hashed = edges.select(
+        F.xxhash64(F.col("src").cast("string")).alias("src"),
+        F.xxhash64(F.col("dst").cast("string")).alias("dst"),
+    )
+    assert _count(triangles.count_triangles(hashed, strategy="blocked")) == expected
+    monkeypatch.setattr(T, "_TC_BROADCAST_MAX_BYTES", 0)
+    assert _count(triangles.count_triangles(edges, strategy="blocked")) == expected
+
+
 def test_blocked_sparse_64bit_vertex_ids(spark):
     """A user feeding raw xxhash64 vertex keys (value span ~2^64, no
     compact_ids) must still get exact counts: the kernel's shard-local rank
