@@ -40,9 +40,7 @@ def connected_components_run(
         raise ValueError(f"unknown algorithm: {algorithm}")
     n_part = spark.sparkContext.defaultParallelism
     sym_raw = prep.symmetrize(canonical)
-    # verts is read twice (self-loop fold + init): cache it so the distinct
-    # over the ~2|E|-row symmetrized table runs once, not twice (r7)
-    verts = sym_raw.select(F.col("src").alias("vertex")).distinct().cache()
+    verts = sym_raw.select(F.col("src").alias("vertex")).distinct()
     # self-loops folded into the cached relation make min(own, nbr-min)
     # a SINGLE aggregate — the old separate keep-own-component left join
     # was one of three per-round joins, for the same fixpoint
@@ -51,7 +49,15 @@ def connected_components_run(
         .repartition(n_part, "src")
         .cache()
     )
-    init = verts.select("vertex", F.col("vertex").alias("component"))
+    # Round 1 from the identity labeling is exactly "min over neighbors ∪
+    # self" (and pointer jumping through the identity state is the
+    # identity), so it folds into init as ONE aggregate over the cached
+    # relation (r7): the first superstep's join disappears for both
+    # algorithms, the fixpoint and every later state are unchanged, and
+    # only the reported iteration count shrinks by one.
+    init = sym.groupBy(F.col("src").alias("vertex")).agg(
+        F.min("dst").alias("component")
+    )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         cand = (
@@ -101,7 +107,7 @@ def connected_components_run(
         checkpoint_dir=checkpoint_dir,
         on_nonconverged="raise",  # exact-semantics operator
     )
-    return supersteps.finalize(run, sym, verts)
+    return supersteps.finalize(run, sym)
 
 
 def connected_components(

@@ -30,9 +30,22 @@ def label_propagation_run(
     lands on the next lineage-cut round."""
     n_part = spark.sparkContext.defaultParallelism
     sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
-    init = sym.select(F.col("src").alias("vertex")).distinct().select(
-        "vertex", F.col("vertex").alias("label")
-    )
+    # Round 1 from the identity labeling collapses to "min neighbor id":
+    # on a simple graph every neighbor's initial label is distinct, so all
+    # counts tie at 1 and the (cnt DESC, label ASC) argmax picks the
+    # smallest neighbor label. Folding it into init turns the first (most
+    # expensive) superstep into one aggregate over the cached relation
+    # (r7); rounds 2..n run unchanged, so the n-round result is identical.
+    if n_iterations > 0:
+        init = sym.groupBy(F.col("src").alias("vertex")).agg(
+            F.min("dst").alias("label")
+        )
+        n_rounds = n_iterations - 1
+    else:
+        init = sym.select(F.col("src").alias("vertex")).distinct().select(
+            "vertex", F.col("vertex").alias("label")
+        )
+        n_rounds = 0
     # argmax encoding guard (see step): packing (cnt, label) into one long
     # needs 0 <= label < 2^31; vertex ids are labels, so one cheap bounds
     # job decides the fast path for the whole run. cnt <= degree < |V| <=
@@ -89,14 +102,14 @@ def label_propagation_run(
         spark,
         init,
         step,
-        max_iterations=n_iterations,
+        max_iterations=n_rounds,
         checkpoint_dir=checkpoint_dir,
         # fixed-round unmetered mode: state feeds each next round exactly
         # once (linear lazy chain, executed stage-by-stage in one job), so
         # mid-run lineage cuts only add materialization jobs — cut at the
         # end only (r7; was every 2). The plan depth stays bounded by
         # n_iterations, which callers keep small in fixed-round mode.
-        checkpoint_every=n_iterations,
+        checkpoint_every=max(n_rounds, 1),
     )
     return supersteps.finalize(run, sym)
 

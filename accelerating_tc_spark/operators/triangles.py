@@ -172,7 +172,11 @@ def _broadcast_partials(oriented: DataFrame) -> DataFrame:
     kernel in place. Zero shuffle (the cogroup route pays |E| + 2B·|adj|
     exchange bytes), no adjacency groupBy, no block replication. Engaged
     at runtime only when 16·|E| bytes fit _TC_BROADCAST_MAX_BYTES, so at
-    scale the bounded-shuffle cogroup plan takes over unchanged."""
+    scale the bounded-shuffle cogroup plan takes over unchanged.
+
+    Returns (partials, broadcast) — the caller unpersists the broadcast
+    after its eager action so repeated counts don't accumulate executor
+    copies."""
     import pyarrow as pa
 
     spark = oriented.sparkSession
@@ -205,7 +209,7 @@ def _broadcast_partials(oriented: DataFrame) -> DataFrame:
                 }
             )
 
-    return oriented.select("src", "dst").mapInArrow(probe, schema=_PARTIAL_SCHEMA)
+    return oriented.select("src", "dst").mapInArrow(probe, schema=_PARTIAL_SCHEMA), bc
 
 
 def _blocked_partials(
@@ -272,7 +276,8 @@ def _blocked_partials(
             and n_blocks is None
             and 16 * n_edges <= _TC_BROADCAST_MAX_BYTES
         ):
-            return _broadcast_partials(oriented), [], 1
+            partials, bc = _broadcast_partials(oriented)
+            return partials, [bc], 1
         if n_blocks is None:
             n_blocks = auto_n_blocks(spark.sparkContext.defaultParallelism, n_edges)
         partials = _cogroup_partials(
@@ -449,7 +454,10 @@ def _blocked_partials(
     hub_part = spread.select(
         "src", "dst", "src_is_hub", "dst_is_hub", "other_nbrs"
     ).mapInArrow(probe, schema=_PARTIAL_SCHEMA)
-    return cogroup_part.unionAll(hub_part), [adj], n_blocks
+    # bc joins the cleanup list: Broadcast.unpersist() drops the executor
+    # copies once the caller's eager action is done (repeated hub-routed
+    # counts previously accumulated one broadcast per call)
+    return cogroup_part.unionAll(hub_part), [adj, bc], n_blocks
 
 
 def triangle_count_blocked(
