@@ -60,7 +60,13 @@ def bowtie_classes(
         .first()
     )
     if giant_row is None:  # edge-less input
-        return comp.select("vertex", F.lit("other").alias("cls"))
+        out = comp.select("vertex", F.lit("other").alias("cls"))
+        # release the frames cached above before the early return (ADVICE
+        # r6: this path leaked them for the session); comp is empty here so
+        # re-deriving `out` costs nothing
+        e.unpersist()
+        comp.unpersist()
+        return out
     giant = int(giant_row["component"])
 
     core = comp.where(F.col("component") == giant).select("vertex")

@@ -144,7 +144,8 @@ def component_sizes_oracle_sql(edges_cte: str) -> str:
     # guard the rewrite: if the base oracle's final SELECT is ever reworded
     # the replace would silently no-op and return the per-vertex listing
     # with the wrong schema (a confusing harness diff instead of this error)
-    assert marker in base, "components_oracle_sql final projection changed; update marker"
+    if marker not in base:  # not `assert`: stripped under python -O (ADVICE r6)
+        raise RuntimeError("components_oracle_sql final projection changed; update marker")
     return base.replace(
         marker,
         """

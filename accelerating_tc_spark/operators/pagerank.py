@@ -60,7 +60,6 @@ def pagerank_run(
         .repartition(n_part, "src")
         .cache()
     )
-    edges_od.count()
 
     init = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
@@ -177,14 +176,15 @@ def personalized_pagerank_run(
         .repartition(n_part, "vertex")
         .cache()
     )
-    verts_s.count()
     edges_od = (
         sym.join(out_deg, sym["src"] == out_deg["vertex"])
         .select("src", "dst", "out_degree")
         .repartition(n_part, "src")
         .cache()
     )
-    edges_od.count()
+    # no cache-priming count() actions for edges_od/verts_s (r7): the
+    # loop's first round materializes both caches anyway — rounds are
+    # sequential, so there is no duplicate-build race to guard against
 
     init = verts_s.select("vertex", F.col("s").alias("rank"))
 

@@ -305,7 +305,8 @@ def scc_sizes_oracle_sql(edges_cte: str) -> str:
     )
     # guard the rewrite (ADVICE r5): a silently no-op replace would return
     # the per-vertex listing with the wrong schema
-    assert marker in base, "scc_oracle_sql final projection changed; update marker"
+    if marker not in base:  # not `assert`: stripped under python -O (ADVICE r6)
+        raise RuntimeError("scc_oracle_sql final projection changed; update marker")
     return base.replace(
         marker,
         """
