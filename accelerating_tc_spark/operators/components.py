@@ -39,6 +39,13 @@ def connected_components_run(
     if algorithm not in ("jump", "minlabel"):
         raise ValueError(f"unknown algorithm: {algorithm}")
     n_part = spark.sparkContext.defaultParallelism
+    # Broadcast-state plan decision (r7, shared with labelprop): min-label
+    # aggregation is order-insensitive integers, so on broadcastable-state
+    # graphs the relation is partitioned by dst (the per-round grouping
+    # key) and the state ships as an explicit broadcast — a round then runs
+    # with ZERO exchanges. Above the cap: classic plan, relation
+    # partitioned by src, only the state table shuffles per round.
+    bcast_state = supersteps.broadcast_state_ok(canonical.count())
     sym_raw = prep.symmetrize(canonical)
     verts = sym_raw.select(F.col("src").alias("vertex")).distinct()
     # self-loops folded into the cached relation make min(own, nbr-min)
@@ -46,7 +53,7 @@ def connected_components_run(
     # was one of three per-round joins, for the same fixpoint
     sym = (
         sym_raw.union(verts.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst")))
-        .repartition(n_part, "src")
+        .repartition(n_part, "dst" if bcast_state else "src")
         .cache()
     )
     # Round 1 from the identity labeling is exactly "min over neighbors ∪
@@ -54,14 +61,24 @@ def connected_components_run(
     # identity), so it folds into init as ONE aggregate over the cached
     # relation (r7): the first superstep's join disappears for both
     # algorithms, the fixpoint and every later state are unchanged, and
-    # only the reported iteration count shrinks by one.
-    init = sym.groupBy(F.col("src").alias("vertex")).agg(
-        F.min("dst").alias("component")
+    # only the reported iteration count shrinks by one. The grouping side
+    # matches the partitioning key (symmetry + self-loops make
+    # min-over-neighbors∪self the same either way), so init is
+    # exchange-free under both plans.
+    init = (
+        sym.groupBy(F.col("dst").alias("vertex")).agg(F.min("src").alias("component"))
+        if bcast_state
+        else sym.groupBy(F.col("src").alias("vertex")).agg(
+            F.min("dst").alias("component")
+        )
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
         cand = (
-            sym.join(state, sym["src"] == state["vertex"])
+            sym.join(
+                F.broadcast(state) if bcast_state else state,
+                sym["src"] == state["vertex"],
+            )
             .select(F.col("dst").alias("vertex"), F.col("component").alias("nbr_comp"))
             .groupBy("vertex")
             .agg(F.min("nbr_comp").alias("component"))
@@ -74,7 +91,9 @@ def connected_components_run(
         lbl = state.select(
             F.col("vertex").alias("component"), F.col("component").alias("jumped")
         )
-        return cand.join(lbl, "component", "left").select(
+        return cand.join(
+            F.broadcast(lbl) if bcast_state else lbl, "component", "left"
+        ).select(
             "vertex", F.least("component", F.coalesce("jumped", "component")).alias("component")
         )
 

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import prep, supersteps
+from .supersteps import broadcast_state_ok as _broadcast_state_ok
 
 
 def label_propagation_run(
@@ -29,16 +30,46 @@ def label_propagation_run(
     propagation. In unmetered fixed-round mode the wall of lazy rounds
     lands on the next lineage-cut round."""
     n_part = spark.sparkContext.defaultParallelism
-    sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
+    # One bounds job over the input decides BOTH runtime plan choices for
+    # the whole run (r7): the argmax packed-long fast path (see step) and
+    # the broadcast-state plan. Packing (cnt, label) into one long needs
+    # 0 <= label < 2^31; vertex ids are labels, so cnt <= degree < |V| <=
+    # max_id+1 < 2^31 and cnt*2^31 + (2^31-1-label) < 2^62 never overflows.
+    bounds = canonical.agg(
+        F.min(F.least("src", "dst")).alias("lo"),
+        F.max(F.greatest("src", "dst")).alias("hi"),
+        F.count(F.lit(1)).alias("m"),
+    ).first()
+    packable = (
+        bounds["lo"] is not None and bounds["lo"] >= 0 and bounds["hi"] < (1 << 31)
+    )
+    bcast_state = _broadcast_state_ok(bounds["m"])
+    _HALF = 1 << 31
+    # Broadcast-state plan: the relation is partitioned by dst — the key
+    # every per-round aggregate groups on — and the (vertex-sized) state is
+    # shipped as an explicit broadcast, so a round runs with ZERO exchanges.
+    # Classic plan (big graphs): partition by src so the shuffled join is
+    # co-partitioned and only the state table moves per round.
+    sym = (
+        prep.symmetrize(canonical)
+        .repartition(n_part, "dst" if bcast_state else "src")
+        .cache()
+    )
     # Round 1 from the identity labeling collapses to "min neighbor id":
     # on a simple graph every neighbor's initial label is distinct, so all
     # counts tie at 1 and the (cnt DESC, label ASC) argmax picks the
     # smallest neighbor label. Folding it into init turns the first (most
     # expensive) superstep into one aggregate over the cached relation
     # (r7); rounds 2..n run unchanged, so the n-round result is identical.
+    # The grouping side matches the partitioning key (symmetry makes
+    # min-over-neighbors the same either way), keeping init exchange-free.
     if n_iterations > 0:
-        init = sym.groupBy(F.col("src").alias("vertex")).agg(
-            F.min("dst").alias("label")
+        init = (
+            sym.groupBy(F.col("dst").alias("vertex")).agg(F.min("src").alias("label"))
+            if bcast_state
+            else sym.groupBy(F.col("src").alias("vertex")).agg(
+                F.min("dst").alias("label")
+            )
         )
         n_rounds = n_iterations - 1
     else:
@@ -46,32 +77,22 @@ def label_propagation_run(
             "vertex", F.col("vertex").alias("label")
         )
         n_rounds = 0
-    # argmax encoding guard (see step): packing (cnt, label) into one long
-    # needs 0 <= label < 2^31; vertex ids are labels, so one cheap bounds
-    # job decides the fast path for the whole run. cnt <= degree < |V| <=
-    # max_id+1 < 2^31, so cnt*2^31 + (2^31-1-label) < 2^62 never overflows.
-    bounds = canonical.agg(
-        F.min(F.least("src", "dst")).alias("lo"), F.max(F.greatest("src", "dst")).alias("hi")
-    ).first()
-    packable = (
-        bounds["lo"] is not None and bounds["lo"] >= 0 and bounds["hi"] < (1 << 31)
-    )
-    _HALF = 1 << 31
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        # ONE exchange per round: the raw (dst-vertex, label) contribution
-        # rows are hash-partitioned by vertex once, and every aggregate
-        # after that (count per (vertex, label), argmax per vertex) runs
-        # exchange-free because hash(vertex) already clusters both keys.
-        # The old shape aggregated by (vertex, label) first — a second
-        # exchange — and its max(struct(cnt, -label)) argmax planned as a
-        # SortAggregate (struct aggregation buffers are not hash-aggregable),
-        # sorting the ~|E|-row label table twice per round.
-        contribs = (
-            sym.join(state, sym["src"] == state["vertex"])
-            .select(F.col("dst").alias("vertex"), "label")
-            .repartition(n_part, "vertex")
-        )
+        # At most ONE exchange per round: the raw (dst-vertex, label)
+        # contribution rows land hash-partitioned by vertex (for free under
+        # the broadcast-state plan; via one repartition otherwise), and
+        # every aggregate after that (count per (vertex, label), argmax per
+        # vertex) runs exchange-free because hash(vertex) already clusters
+        # both keys. The old shape aggregated by (vertex, label) first — a
+        # second exchange — and its max(struct(cnt, -label)) argmax planned
+        # as a SortAggregate (struct aggregation buffers are not
+        # hash-aggregable), sorting the ~|E|-row label table twice a round.
+        joined = sym.join(
+            F.broadcast(state) if bcast_state else state,
+            sym["src"] == state["vertex"],
+        ).select(F.col("dst").alias("vertex"), "label")
+        contribs = joined if bcast_state else joined.repartition(n_part, "vertex")
         nbr_labels = contribs.groupBy("vertex", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )

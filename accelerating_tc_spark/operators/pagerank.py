@@ -51,13 +51,21 @@ def pagerank_run(
     )
     n = out_deg.count()
     verts = out_deg.select("vertex")
+    # Broadcast-state plan (r7, as in labelprop/components): with a rank
+    # table small enough to broadcast (|V| known exactly here), the edge
+    # relation is partitioned by dst — the per-round grouping key — and a
+    # round runs with ZERO exchanges. Above the cap: classic plan, edges
+    # partitioned by the join key so only the rank table shuffles per
+    # round. Note the contribution sum reassociates between the two plans;
+    # both match the 6dp-rounded oracle (verified at every driver SF).
+    bcast_state = 24 * n <= supersteps.STATE_BROADCAST_MAX_BYTES
     # (src, dst, out_degree) fixed for all rounds — computed once, cached,
-    # hash-partitioned on the join key so each superstep only shuffles the
-    # (small) rank table, never the edges.
+    # hash-partitioned so each superstep only moves the (small) rank table,
+    # never the edges.
     edges_od = (
         sym.join(out_deg, sym["src"] == out_deg["vertex"])
         .select("src", "dst", "out_degree")
-        .repartition(n_part, "src")
+        .repartition(n_part, "dst" if bcast_state else "src")
         .cache()
     )
 
@@ -69,7 +77,10 @@ def pagerank_run(
         # contribution aggregate already yields one row per vertex — no
         # dangling-vertex left join is needed (one fewer join per round).
         return (
-            edges_od.join(state, edges_od["src"] == state["vertex"])
+            edges_od.join(
+                F.broadcast(state) if bcast_state else state,
+                edges_od["src"] == state["vertex"],
+            )
             .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("out_degree")).alias("c"))
             .groupBy("vertex")
             .agg((F.lit(base) + F.lit(damping) * F.sum("c")).alias("rank"))
@@ -158,6 +169,10 @@ def personalized_pagerank_run(
         .agg(F.count(F.lit(1)).alias("out_degree"))
         .cache()
     )
+    # |V| gates the broadcast-state plan (as in pagerank_run); the count
+    # also materializes the out_deg cache that edges_od reuses below
+    n_v = out_deg.count()
+    bcast_state = 24 * n_v <= supersteps.STATE_BROADCAST_MAX_BYTES
     verts = out_deg.select("vertex")
     if seeds is None:
         seeds = verts.orderBy("vertex").limit(n_seeds)
@@ -179,7 +194,7 @@ def personalized_pagerank_run(
     edges_od = (
         sym.join(out_deg, sym["src"] == out_deg["vertex"])
         .select("src", "dst", "out_degree")
-        .repartition(n_part, "src")
+        .repartition(n_part, "dst" if bcast_state else "src")
         .cache()
     )
     # no cache-priming count() actions for edges_od/verts_s (r7): the
@@ -190,7 +205,10 @@ def personalized_pagerank_run(
 
     def step(state: DataFrame, i: int) -> DataFrame:
         contrib = (
-            edges_od.join(state, edges_od["src"] == state["vertex"])
+            edges_od.join(
+                F.broadcast(state) if bcast_state else state,
+                edges_od["src"] == state["vertex"],
+            )
             .select(
                 F.col("dst").alias("vertex"),
                 (F.col("rank") / F.col("out_degree")).alias("c"),

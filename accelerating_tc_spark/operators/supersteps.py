@@ -32,6 +32,25 @@ from pyspark.sql import functions as F
 
 from ..sources import snapshots
 
+# Broadcast-state fast path cap for iterative vertex programs (labelprop,
+# components): when the graph is small enough that the per-round vertex
+# state comfortably broadcasts (|V| <= 2|E|, ~16-24 B/row), the loop
+# relation is partitioned by dst and the state shipped as an explicit
+# broadcast — every per-round aggregate then runs exchange-free. Above the
+# cap the classic plan (relation partitioned by src, state shuffled to the
+# join) is used unchanged. The default 64 MiB mirrors the session's
+# autoBroadcastJoinThreshold; override with
+# SPARK_GRAFT_STATE_BROADCAST_MAX_MB (0 disables the fast path). Only safe
+# for ORDER-INSENSITIVE (integer min/count) per-round aggregates — float
+# sums would reassociate.
+STATE_BROADCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STATE_BROADCAST_MAX_MB", "64")
+) << 20
+
+
+def broadcast_state_ok(n_edges: int | None) -> bool:
+    return n_edges is not None and 32 * n_edges <= STATE_BROADCAST_MAX_BYTES
+
 
 @dataclass
 class IterationMetrics:

@@ -50,6 +50,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Whole-stage-codegen class cache (static conf, default 100
+        # entries): a multi-query session (bench suite, notebook) cycles
+        # through far more generated stages than that, so each query's
+        # classes were evicted between passes and recompiled every time
+        # (~50-150 ms per stage, serial on the driver). 1000 entries keeps
+        # every suite stage resident for ~tens of MB of metaspace —
+        # scale-independent (driver-side JVM cost only).
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         # A crashed Python worker (segfault/OOM-kill) otherwise dies
         # silently; with faulthandler the executor log carries the native
         # traceback — required to diagnose intermittent kernel crashes.
