@@ -95,11 +95,19 @@ def multi_source_distances(
                 frontier = None
                 break
             depth += 1
-            state = cutter.cut(
-                state.unionByName(
-                    nxt.select("vertex", F.lit(depth).cast("long").alias("dist"))
-                )
+            # the visited set stays a LAZY union of the per-round cut
+            # frontiers (r7): every leaf is already materialized, so the
+            # anti-join scans the same |visited| rows either way, while the
+            # old per-round cut of the union REWROTE the whole visited set
+            # each round — O(rounds x |visited|) materialized bytes. Union
+            # width is bounded by max_depth.
+            state = state.unionByName(
+                nxt.select("vertex", F.lit(depth).cast("long").alias("dist"))
             )
+            if depth % 8 == 0:
+                # periodic compaction bounds the union width (and hence
+                # per-round planning cost) on deep traversals
+                state = cutter.cut(state)
             frontier = nxt
         else:
             # budget exhausted: bounded semantics keeps the <= max_depth

@@ -74,8 +74,20 @@ def core_numbers(
     hard cuts bound the lineage chain) and deep peel chains legitimately
     need hundreds of rounds — one round per remaining peel level."""
     n_part = spark.sparkContext.defaultParallelism
-    sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
+    # Broadcast-state plan (r7, as in labelprop/components): h-index rounds
+    # are integer joins + hash aggregates, so on broadcastable-state graphs
+    # the relation is partitioned by dst (the grouping key) and per-round
+    # state ships as explicit broadcasts — a round runs exchange-free.
+    bcast_state = supersteps.broadcast_state_ok(canonical.count())
+    sym = (
+        prep.symmetrize(canonical)
+        .repartition(n_part, "dst" if bcast_state else "src")
+        .cache()
+    )
     init = prep.degrees(canonical).select("vertex", F.col("degree").alias("core"))
+
+    def _st(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast_state else df
 
     w = Window.partitionBy("vertex").orderBy(F.desc("nbr_core"))
 
@@ -97,8 +109,8 @@ def core_numbers(
         st_src = state.select(F.col("vertex").alias("src"), F.col("core").alias("src_core"))
         st_dst = state.select(F.col("vertex").alias("dst"), F.col("core").alias("dst_core"))
         capped = (
-            sym.join(st_src, "src")
-            .join(st_dst, "dst")
+            sym.join(_st(st_src), "src")
+            .join(_st(st_dst), "dst")
             .select(
                 F.col("dst").alias("vertex"),
                 F.least("src_core", "dst_core").alias("c"),
@@ -110,15 +122,29 @@ def core_numbers(
             .agg(F.collect_list(F.struct("c", "cnt")).alias("hist"))
             .select("vertex", _hindex_from_histogram().alias("new_core"))
         )
-        return state.join(hidx, "vertex", "left").select(
+        return state.join(_st(hidx), "vertex", "left").select(
             "vertex", F.least("core", F.coalesce("new_core", F.lit(0))).alias("core")
         )
 
     step = step_aggregate if impl == "aggregate" else step_window
 
+    # core estimates only ever decrease, so the state is a fixpoint iff
+    # sum(core) is unchanged — the same memoized monotone-sum probe as
+    # connected components (r7): one tiny aggregate replaces a per-round
+    # two-sided join + count. Decimal(38) is exact for any long cores.
+    prev_sum: list = [None]
+
+    def _core_sum(df: DataFrame):
+        s = df.agg(F.sum(F.col("core").cast("decimal(38,0)")).alias("s")).first()["s"]
+        return s if s is not None else 0
+
     def delta_fn(old: DataFrame, new: DataFrame) -> float:
-        o = old.withColumnRenamed("core", "old_core")
-        return float(new.join(o, "vertex").where(F.col("core") != F.col("old_core")).count())
+        if prev_sum[0] is None:
+            prev_sum[0] = _core_sum(old)
+        s = _core_sum(new)
+        d = float(prev_sum[0] - s)
+        prev_sum[0] = s
+        return d
 
     if fixed_rounds is not None:
         run = supersteps.iterate(

@@ -56,17 +56,30 @@ def _min_label_fixpoint(
     pointer jumping; raises if max_iterations is hit before the fixpoint."""
     n_part = spark.sparkContext.defaultParallelism
     # fold self-loops in so min(own, incoming-min) is a single aggregate
-    # (the components.py trick) and edge-less vertices stay in the state
+    # (the components.py trick) and edge-less vertices stay in the state.
+    # Broadcast-state plan (r7, as in components): integer min aggregates
+    # are order-insensitive, so on broadcastable-state graphs the relation
+    # is partitioned by dst (the grouping key) and the per-round state
+    # ships as explicit broadcasts — a round runs exchange-free. The
+    # cache-warming count doubles as the plan gate.
+    # the state is exactly |verts| rows, and callers pass verts already
+    # materialized (cutter.cut) — gate the plan on it directly
+    bcast_state = 24 * verts.count() <= supersteps.STATE_BROADCAST_MAX_BYTES
     rel = (
-        edges.union(verts.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst")))
-        .repartition(n_part, "src")
+        edges.union(
+            verts.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst"))
+        )
+        .repartition(n_part, "dst" if bcast_state else "src")
         .cache()
     )
     init = verts.select("vertex", F.col("vertex").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
         cand = (
-            rel.join(state, rel["src"] == state["vertex"])
+            rel.join(
+                F.broadcast(state) if bcast_state else state,
+                rel["src"] == state["vertex"],
+            )
             .select(F.col("dst").alias("vertex"), F.col("label").alias("nbr_label"))
             .groupBy("vertex")
             .agg(F.min("nbr_label").alias("label"))
@@ -75,15 +88,28 @@ def _min_label_fixpoint(
         # and label(label(v)) reaches label(v), so the jumped value is still
         # a reacher of v — the fixpoint is unchanged, rounds collapse.
         lbl = state.select(F.col("vertex").alias("label"), F.col("label").alias("jumped"))
-        return cand.join(lbl, "label", "left").select(
+        return cand.join(
+            F.broadcast(lbl) if bcast_state else lbl, "label", "left"
+        ).select(
             "vertex", F.least("label", F.coalesce("jumped", "label")).alias("label")
         )
 
+    # monotone-sum convergence probe (r7, as in components/kcore): labels
+    # only decrease, so fixpoint iff sum(label) is unchanged — one tiny
+    # aggregate per round instead of a two-sided join + count.
+    prev_sum: list = [None]
+
+    def _label_sum(df: DataFrame):
+        s = df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).first()["s"]
+        return s if s is not None else 0
+
     def delta_fn(old: DataFrame, new: DataFrame) -> float:
-        o = old.withColumnRenamed("label", "old_label")
-        return float(
-            new.join(o, "vertex").where(F.col("label") != F.col("old_label")).count()
-        )
+        if prev_sum[0] is None:
+            prev_sum[0] = _label_sum(old)
+        s = _label_sum(new)
+        d = float(prev_sum[0] - s)
+        prev_sum[0] = s
+        return d
 
     run = supersteps.iterate(
         spark,

@@ -111,92 +111,56 @@ def capture_plans(outdir: str, suffix: str) -> None:
         print(f"wrote {p}")
 
 
+class _PlanCaptured(Exception):
+    def __init__(self, df):
+        self.df = df
+
+
+def _captured_round_plan(run_operator) -> str:
+    """Capture ONE superstep's plan from the operator's OWN code path: the
+    superstep spine is intercepted so the first step(state, 0) DataFrame is
+    explained exactly as the operator builds it (init materialized first,
+    as iterate would). Tracks operator rewrites automatically — the plan
+    file cannot drift from the code."""
+    from accelerating_tc_spark.operators import supersteps
+
+    real_iterate = supersteps.iterate
+
+    def trap_iterate(spark, initial, step, *a, **kw):
+        raise _PlanCaptured(step(initial.localCheckpoint(eager=True), 0))
+
+    supersteps.iterate = trap_iterate
+    try:
+        run_operator()
+        raise AssertionError("operator did not reach supersteps.iterate")
+    except _PlanCaptured as cap:
+        return _explain_str(cap.df)
+    finally:
+        supersteps.iterate = real_iterate
+
+
 def _pagerank_round_plan(spark, canonical) -> str:
-    from pyspark.sql import functions as F
+    from accelerating_tc_spark.operators import pagerank
 
-    from accelerating_tc_spark.operators import prep
-
-    n_part = spark.sparkContext.defaultParallelism
-    sym = prep.symmetrize(canonical)
-    verts = sym.select(F.col("src").alias("vertex")).distinct().repartition(n_part, "vertex").cache()
-    n = verts.count()
-    out_deg = sym.groupBy(F.col("src").alias("vertex")).agg(F.count(F.lit(1)).alias("out_degree"))
-    edges_od = (
-        sym.join(out_deg, sym["src"] == out_deg["vertex"])
-        .select("src", "dst", "out_degree")
-        .repartition(n_part, "src")
-        .cache()
+    return _captured_round_plan(
+        lambda: pagerank.pagerank_run(spark, canonical, n_iterations=10)
     )
-    edges_od.count()
-    init = verts.select("vertex", F.lit(1.0 / n).alias("rank"))
-    state = init.localCheckpoint(eager=True)
-    base = 0.15 / n
-    one_round = (
-        edges_od.join(state, edges_od["src"] == state["vertex"])
-        .select(F.col("dst").alias("vertex"), (F.col("rank") / F.col("out_degree")).alias("c"))
-        .groupBy("vertex")
-        .agg((F.lit(base) + F.lit(0.85) * F.sum("c")).alias("rank"))
-    )
-    out = _explain_str(one_round)
-    verts.unpersist()
-    edges_od.unpersist()
-    return out
 
 
 def _cc_round_plan(spark, canonical) -> str:
-    from pyspark.sql import functions as F
+    from accelerating_tc_spark.operators import components
 
-    from accelerating_tc_spark.operators import prep
-
-    n_part = spark.sparkContext.defaultParallelism
-    sym_raw = prep.symmetrize(canonical)
-    verts = sym_raw.select(F.col("src").alias("vertex")).distinct()
-    sym = (
-        sym_raw.union(verts.select(F.col("vertex").alias("src"), F.col("vertex").alias("dst")))
-        .repartition(n_part, "src")
-        .cache()
+    return _captured_round_plan(
+        lambda: components.connected_components_run(spark, canonical)
     )
-    init = verts.select("vertex", F.col("vertex").alias("component"))
-    state = init.localCheckpoint(eager=True)
-    cand = (
-        sym.join(state, sym["src"] == state["vertex"])
-        .select(F.col("dst").alias("vertex"), F.col("component").alias("nbr_comp"))
-        .groupBy("vertex")
-        .agg(F.min("nbr_comp").alias("component"))
-    )
-    lbl = state.select(F.col("vertex").alias("component"), F.col("component").alias("jumped"))
-    one_round = cand.join(lbl, "component", "left").select(
-        "vertex", F.least("component", F.coalesce("jumped", "component")).alias("component")
-    )
-    out = _explain_str(one_round)
-    sym.unpersist()
-    return out
 
 
 def _lp_round_plan(spark, canonical) -> str:
-    from pyspark.sql import functions as F
+    from accelerating_tc_spark.operators import labelprop
 
-    from accelerating_tc_spark.operators import labelprop, prep
-
-    n_part = spark.sparkContext.defaultParallelism
-    sym = prep.symmetrize(canonical).repartition(n_part, "src").cache()
-    init = sym.select(F.col("src").alias("vertex")).distinct().select(
-        "vertex", F.col("vertex").alias("label")
+    return _captured_round_plan(
+        lambda: labelprop.label_propagation_run(spark, canonical, n_iterations=5)
     )
-    state = init.localCheckpoint(eager=True)
-    run = labelprop.label_propagation_run  # noqa: F841  (import kept close)
-    nbr_labels = (
-        sym.join(state, sym["src"] == state["vertex"])
-        .select(F.col("dst").alias("vertex"), "label")
-        .groupBy("vertex", "label")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    one_round = nbr_labels.groupBy("vertex").agg(
-        (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))).getField("nl")).alias("label")
-    )
-    out = _explain_str(one_round)
-    sym.unpersist()
-    return out
 
 
 def run_suite(rounds: int) -> None:
