@@ -19,7 +19,7 @@ class CsrShard:
     used zero-copy (values stay in arrival order; only the tiny vertex
     column is argsorted)."""
 
-    __slots__ = ("vertices", "starts", "ends", "flat")
+    __slots__ = ("vertices", "starts", "ends", "flat", "_enc_memo")
 
     def __init__(
         self, vertices: np.ndarray, starts: np.ndarray, ends: np.ndarray, flat: np.ndarray
@@ -28,6 +28,10 @@ class CsrShard:
         self.starts = starts
         self.ends = ends
         self.flat = flat
+        # memo for intersect_count_csr's encoded probe table (depends only
+        # on the shard): a task that probes the same shard across many
+        # Arrow batches (the r7 broadcast-CSR route) builds it once
+        self._enc_memo = None
 
     @classmethod
     def from_arrow_lists(cls, vertices, list_array) -> "CsrShard":
@@ -176,31 +180,37 @@ def intersect_count_csr(shard: CsrShard, u_keys: np.ndarray, v_keys: np.ndarray)
     probe_rows = probe_rows[edge_order]
     table_rows = table_rows[edge_order]
 
-    # table: whole shard in row order, encoded (row, value) -> one int64
-    t_flat, t_rows, _ = shard.gather(np.arange(n_rows, dtype=np.int64))
-    lo = np.int64(t_flat.min())
-    stride = np.int64(t_flat.max()) - lo + 1
-    ranks = None
-    if stride <= 0 or n_rows >= (np.iinfo(np.int64).max // max(int(stride), 1)):
-        # value span too wide to row-encode directly (raw sparse 64-bit ids,
-        # e.g. xxhash64 vertex keys fed in without compact_ids): shard-local
-        # rank compression. One np.unique over the shard's flat values makes
-        # the effective stride |distinct values in shard| <= |adj shard|, so
-        # n_rows * stride <= |adj|^2 always fits int64 and the encoded fast
-        # path applies to ANY id space. Rank remap is monotone, so per-row
-        # sortedness (and hence enc_t monotonicity) is preserved.
-        ranks = np.unique(shard.flat)
-        t_flat = np.searchsorted(ranks, t_flat)
-        lo = np.int64(0)
-        stride = np.int64(len(ranks))
-    enc_t = t_rows * stride + (t_flat - lo)
-    if not (enc_t.size < 2 or bool(np.all(enc_t[1:] >= enc_t[:-1]))):
-        # adjacency arrived unsorted (not produced by prep.adjacency):
-        # sort the table once — O(|adj| log |adj|), still far below the
-        # old per-edge-stream sort
-        enc_t = np.sort(enc_t)
-    # sentinel pad so searchsorted's idx==len never needs a clamp pass
-    enc_t = np.append(enc_t, np.iinfo(np.int64).max)
+    # table: whole shard in row order, encoded (row, value) -> one int64.
+    # Memoized on the shard (depends only on it): a task probing the same
+    # shard over many Arrow batches builds it once (r7).
+    if shard._enc_memo is None:
+        t_flat, t_rows, _ = shard.gather(np.arange(n_rows, dtype=np.int64))
+        lo = np.int64(t_flat.min())
+        stride = np.int64(t_flat.max()) - lo + 1
+        ranks = None
+        if stride <= 0 or n_rows >= (np.iinfo(np.int64).max // max(int(stride), 1)):
+            # value span too wide to row-encode directly (raw sparse 64-bit
+            # ids, e.g. xxhash64 vertex keys fed in without compact_ids):
+            # shard-local rank compression. One np.unique over the shard's
+            # flat values makes the effective stride |distinct values in
+            # shard| <= |adj shard|, so n_rows * stride <= |adj|^2 always
+            # fits int64 and the encoded fast path applies to ANY id space.
+            # Rank remap is monotone, so per-row sortedness (and hence
+            # enc_t monotonicity) is preserved.
+            ranks = np.unique(shard.flat)
+            t_flat = np.searchsorted(ranks, t_flat)
+            lo = np.int64(0)
+            stride = np.int64(len(ranks))
+        enc_t = t_rows * stride + (t_flat - lo)
+        if not (enc_t.size < 2 or bool(np.all(enc_t[1:] >= enc_t[:-1]))):
+            # adjacency arrived unsorted (not produced by prep.adjacency):
+            # sort the table once — O(|adj| log |adj|), still far below the
+            # old per-edge-stream sort
+            enc_t = np.sort(enc_t)
+        # sentinel pad so searchsorted's idx==len never needs a clamp pass
+        enc_t = np.append(enc_t, np.iinfo(np.int64).max)
+        shard._enc_memo = (enc_t, lo, stride, ranks)
+    enc_t, lo, stride, ranks = shard._enc_memo
 
     flat_p, edge_ids, _ = shard.gather(probe_rows)
     if flat_p.size == 0:

@@ -38,7 +38,9 @@ def _empty_arr() -> F.Column:
 def edge_support(canonical: DataFrame) -> DataFrame:
     """(src, dst, support): triangles through each canonical edge."""
     sym = prep.symmetrize(canonical)
-    adj = sym.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    # collect_list: sym rows are distinct (canonical edges symmetrized),
+    # so the per-group hash-set dedup of collect_set is pure overhead (r7)
+    adj = sym.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
     a_u = adj.withColumnRenamed("nbrs", "nbrs_u")
     a_v = adj.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
     return (
@@ -56,7 +58,7 @@ def _support_decrements(dropped: DataFrame, survivors: DataFrame) -> DataFrame:
     """(src, dst, dec): per SURVIVING edge, how many of its triangles were
     destroyed by `dropped` (both inputs canonical src<dst, disjoint)."""
     sym_s = prep.symmetrize(survivors)
-    adj_s = sym_s.groupBy("src").agg(F.sort_array(F.collect_set("dst")).alias("nbrs"))
+    adj_s = sym_s.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
     a_u = adj_s.withColumnRenamed("nbrs", "nbrs_u")
     a_v = adj_s.select(F.col("src").alias("dst"), F.col("nbrs").alias("nbrs_v"))
 
