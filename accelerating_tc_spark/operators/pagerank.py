@@ -20,10 +20,6 @@ from . import prep, supersteps
 DAMPING = 0.85
 
 
-def _vertices(sym: DataFrame) -> DataFrame:
-    return sym.select(F.col("src").alias("vertex")).distinct()
-
-
 def pagerank_run(
     spark: SparkSession,
     canonical: DataFrame,
