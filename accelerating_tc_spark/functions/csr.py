@@ -67,9 +67,22 @@ class CsrShard:
                 np.empty(0, dtype=np.int64),
                 np.empty(0, dtype=np.int64),
             )
-        order = np.lexsort((nbrs, owners))
-        o_sorted = owners[order]
-        flat = nbrs[order]
+        if owners.min() >= 0 and nbrs.min() >= 0 and max(
+            int(owners.max()), int(nbrs.max())
+        ) < (1 << 31):
+            # single-key encoded sort: (owner, nbr) packed into one int64
+            # sorts ~6x faster than np.lexsort on the same pairs (measured
+            # 0.38s -> 0.06s at 1.2M rows) — the dominant term of the
+            # broadcast-CSR route's driver build. Ids beyond 31 bits (raw
+            # hashed keys) take the general lexsort below.
+            enc = (owners << np.int64(31)) | nbrs
+            enc.sort()
+            o_sorted = enc >> np.int64(31)
+            flat = enc & np.int64((1 << 31) - 1)
+        else:
+            order = np.lexsort((nbrs, owners))
+            o_sorted = owners[order]
+            flat = nbrs[order]
         vertices, starts = np.unique(o_sorted, return_index=True)
         ends = np.empty(len(vertices), dtype=np.int64)
         ends[:-1] = starts[1:]

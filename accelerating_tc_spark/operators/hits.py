@@ -129,6 +129,10 @@ def hits_run(
         iterations=run.iterations,
         converged=run.converged,
         metrics=run.metrics,
+        # close() only ever re-anchors (cuts) the state further, so the
+        # loop's cut status carries over — lets finalize skip its
+        # redundant re-checkpoint job (r7)
+        state_is_cut=run.state_is_cut,
     )
     return supersteps.finalize(run, verts, e_by_src, e_by_dst)
 

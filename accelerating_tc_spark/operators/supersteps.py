@@ -68,6 +68,10 @@ class SuperstepRun:
     iterations: int
     converged: bool
     metrics: list[IterationMetrics] = field(default_factory=list)
+    # True when `state` is already lineage-cut AND materialized (an eager
+    # localCheckpoint or a parquet snapshot produced it) — finalize() can
+    # then skip its re-anchoring checkpoint, saving one job per run.
+    state_is_cut: bool = False
 
 
 def finalize(run: SuperstepRun, *helpers: DataFrame) -> SuperstepRun:
@@ -80,8 +84,12 @@ def finalize(run: SuperstepRun, *helpers: DataFrame) -> SuperstepRun:
     set for the session's lifetime — a repeated-pass caller (bench
     protocol, notebook) accumulates them. The eager localCheckpoint
     materializes the (vertex-sized, small) state once so the unpersist
-    cannot force a recompute from cold sources later."""
-    state = run.state.localCheckpoint(eager=True)
+    cannot force a recompute from cold sources later. When the loop
+    already left the state cut+materialized (`state_is_cut`, the common
+    case: the last round of every mode ends in an eager localCheckpoint or
+    a snapshot read-back), that checkpoint would be a redundant extra job
+    per run and is skipped (r7)."""
+    state = run.state if run.state_is_cut else run.state.localCheckpoint(eager=True)
     for h in helpers:
         h.unpersist()
     return SuperstepRun(
@@ -89,6 +97,7 @@ def finalize(run: SuperstepRun, *helpers: DataFrame) -> SuperstepRun:
         iterations=run.iterations,
         converged=run.converged,
         metrics=run.metrics,
+        state_is_cut=True,
     )
 
 
@@ -217,6 +226,7 @@ def iterate(
     metrics: list[IterationMetrics] = []
     start_iter = 0
     state = initial
+    state_cut = False  # True while `state` is lineage-cut AND materialized
     scratch_dir: str | None = None
     chain_len = 0  # consecutive localCheckpoint cuts since the last hard cut
 
@@ -229,6 +239,7 @@ def iterate(
         last = ckpt_log.latest() if resume else None
         if last is not None:
             state = ckpt_log.read(last)
+            state_cut = True
             start_iter = last + 1
 
     converged = False
@@ -238,6 +249,7 @@ def iterate(
         t0 = time.time()
         new_state = step(state, i)
 
+        state_cut = True
         if ckpt_log and (i % checkpoint_every == 0 or i == max_iterations - 1):
             # durable commit + lineage cut: read back the written snapshot
             persisted = ckpt_log.write(new_state, i)
@@ -254,6 +266,7 @@ def iterate(
             # for small states); the plan depth is bounded by
             # checkpoint_every so Catalyst analysis stays O(1) per round
             persisted = new_state
+            state_cut = False
         elif hard_cut_every and chain_len + 1 >= hard_cut_every:
             # parquet hard cut: bound the localCheckpoint chain (see
             # hard_cut_every docstring) — alternate two scratch slots so
@@ -320,6 +333,13 @@ def iterate(
         # in block storage (a 1-link localCheckpoint chain is safe) before
         # removing the scratch dir
         state = state.localCheckpoint(eager=True)
+        state_cut = True
         shutil.rmtree(scratch_dir, ignore_errors=True)
 
-    return SuperstepRun(state=state, iterations=len(metrics) + start_iter, converged=converged, metrics=metrics)
+    return SuperstepRun(
+        state=state,
+        iterations=len(metrics) + start_iter,
+        converged=converged,
+        metrics=metrics,
+        state_is_cut=state_cut,
+    )
