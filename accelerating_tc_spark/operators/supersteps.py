@@ -285,7 +285,13 @@ def iterate(
             persisted = spark.read.parquet(slot)
             chain_len = 0
         else:
-            persisted = new_state.localCheckpoint(eager=True)
+            # convergence mode: the delta probe below runs an action on
+            # `persisted` right away, so a LAZY checkpoint lets that single
+            # action materialize the blocks — one job per round instead of
+            # an eager-materialize job plus the probe job (r7; measured on
+            # the SCC inner loop, whose many short rounds are job-overhead
+            # bound). Without a probe the eager cut keeps its job.
+            persisted = new_state.localCheckpoint(eager=delta_fn is None)
             chain_len += 1
 
         delta = delta_fn(state, persisted) if delta_fn is not None else None
