@@ -163,6 +163,91 @@ def _lp_round_plan(spark, canonical) -> str:
     )
 
 
+def _captured_round2_plan(run_operator) -> str:
+    """Like _captured_round_plan but explains the SECOND round: operators
+    whose init does not scan the loop's cached relation (kcore, scc) would
+    otherwise capture the round-1-cold plan, where the not-yet-materialized
+    AQE-cached relation reports UnknownPartitioning and the explain shows
+    an Exchange that every steady-state round elides. Running round 1 first
+    materializes the cache, so the captured plan is the repeated unit."""
+    from accelerating_tc_spark.operators import supersteps
+
+    real_iterate = supersteps.iterate
+
+    def trap_iterate(spark, initial, step, *a, **kw):
+        s1 = step(initial.localCheckpoint(eager=True), 0).localCheckpoint(eager=True)
+        raise _PlanCaptured(step(s1, 1))
+
+    supersteps.iterate = trap_iterate
+    try:
+        run_operator()
+        raise AssertionError("operator did not reach supersteps.iterate")
+    except _PlanCaptured as cap:
+        return _explain_str(cap.df)
+    finally:
+        supersteps.iterate = real_iterate
+
+
+def _kcore_round_plan(spark, canonical) -> str:
+    from accelerating_tc_spark.operators import kcore
+
+    return _captured_round2_plan(lambda: kcore.core_numbers(spark, canonical))
+
+
+def _scc_round_plan(spark, canonical) -> str:
+    # the first supersteps.iterate SCC reaches is the inner min-label
+    # fixpoint — the repeated unit the r7 broadcast-state rewrite targets
+    from accelerating_tc_spark.operators import scc
+
+    return _captured_round2_plan(
+        lambda: scc.strongly_connected_components(spark, canonical)
+    )
+
+
+def _bfs_round_plan(spark, canonical) -> str:
+    """Round-3 expand plan of the hand-rolled BFS loop (LineageCutter.cut
+    intercepted): by round 3 the visited state is the r7 LAZY union of cut
+    frontiers, so the anti-join's union shape is visible in the plan."""
+    from accelerating_tc_spark.operators import bfs, supersteps
+
+    calls = {"n": 0}
+    real_cut = supersteps.LineageCutter.cut
+
+    def trap_cut(self, df):
+        calls["n"] += 1
+        if calls["n"] >= 3:
+            raise _PlanCaptured(df)
+        return real_cut(self, df)
+
+    supersteps.LineageCutter.cut = trap_cut
+    try:
+        bfs.multi_source_distances(spark, canonical, sources=[0, 1, 2, 3])
+        raise AssertionError("bfs never reached round 3")
+    except _PlanCaptured as cap:
+        return _explain_str(cap.df)
+    finally:
+        supersteps.LineageCutter.cut = real_cut
+
+
+def capture_iter_plans(outdir: str, suffix: str) -> None:
+    """Round plans for the non-headline iterative operators the r7 round
+    touched (kcore h-index, SCC min-label fixpoint, BFS frontier expand) —
+    captured from the operators' own code paths like capture_plans."""
+    spark = _spark()
+    canonical, _ = _graph(spark)
+    plans = {
+        "core_numbers_round": _kcore_round_plan(spark, canonical),
+        "scc_fixpoint_round": _scc_round_plan(spark, canonical),
+        "bfs_distances_round": _bfs_round_plan(spark, canonical),
+    }
+    spark.stop()
+    os.makedirs(outdir, exist_ok=True)
+    for name, text in plans.items():
+        p = Path(outdir) / f"{name}_{suffix}.txt"
+        p.write_text(text)
+        print(f"wrote {p}")
+
+
 def run_suite(rounds: int) -> None:
     """Same protocol as bench.py's headline (min-of-N interleaved), same
     terminal actions, printed as one JSON line — for quick A/B during the
@@ -269,7 +354,12 @@ def time_one(name: str, rounds: int) -> None:
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    if "--plans" in argv:
+    if "--plans-iter" in argv:
+        i = argv.index("--plans-iter")
+        outdir = argv[i + 1]
+        suffix = argv[argv.index("--suffix") + 1] if "--suffix" in argv else "before"
+        capture_iter_plans(outdir, suffix)
+    elif "--plans" in argv:
         i = argv.index("--plans")
         outdir = argv[i + 1]
         suffix = argv[argv.index("--suffix") + 1] if "--suffix" in argv else "before"
