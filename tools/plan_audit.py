@@ -82,13 +82,33 @@ def main() -> int:
     oriented = prep.orient_by_degree(canonical, deg)
     from accelerating_tc_spark.operators.triangles import _blocked_partials
 
+    # 3. blocked TC, both physical routes over the SAME oriented frame.
+    # 3a. pinned-B cogroup route (the at-scale plan, taken above the
+    # broadcast budget): bounded |E| + 2B·|adj| exchanges into the cogroup
+    partials, caches, b = _blocked_partials(oriented, n_blocks=4, deg=deg)
+    p = plan_of(partials)
+    n_ex_cogroup = p.count("Exchange hashpartitioning")
+    check(
+        f"blocked TC cogroup route plans bounded exchanges (pinned B={b})",
+        "FlatMapCoGroupsInArrow" in p or "CoGroup" in p,
+        f"{n_ex_cogroup} hash exchanges feeding the cogroup",
+    )
+    for c in caches:
+        c.unpersist()
+
+    # 3b. auto route on a broadcast-fitting graph: the r7 broadcast-CSR plan
+    # streams the edge partitions straight through MapInArrow — it must add
+    # NO exchange of its own on top of the shared orientation subtree, i.e.
+    # strictly fewer exchanges than the cogroup's tag/replicate plan (the
+    # measured-work gate below pins the absolute bytes at ~zero)
     partials, caches, b = _blocked_partials(oriented, deg=deg)
     p = plan_of(partials)
-    n_ex = p.count("Exchange hashpartitioning")
+    n_ex_bcast = p.count("Exchange hashpartitioning")
     check(
-        f"blocked TC plans bounded exchanges (auto B={b})",
-        "FlatMapCoGroupsInArrow" in p or "CoGroup" in p,
-        f"{n_ex} hash exchanges feeding the cogroup",
+        f"blocked TC auto route (broadcast CSR, B={b}): probe adds no exchange",
+        b == 1 and "MapInArrow" in p and n_ex_bcast < n_ex_cogroup,
+        f"{n_ex_bcast} exchanges (all in the shared orientation subtree) vs "
+        f"{n_ex_cogroup} on the cogroup route",
     )
     for c in caches:
         c.unpersist()
@@ -188,14 +208,28 @@ def main() -> int:
             f"{len(w)} queries with work sums in {Path(runs[-1]).name}",
         )
         if have:
-            # the 'only the rank table shuffles per round' property, made
-            # quantitative: ten PageRank rounds together must move far less
-            # shuffle than ONE blocked-TC pass's adjacency exchange
+            # per-query shuffle-byte band vs the committed r7 baseline
+            # (round-6 verdict task 5): shuffle bytes are a property of the
+            # executed plan, so exceeding the band means a lost pushdown /
+            # partitioning reuse or an extra exchange — caught even when
+            # walls are weather. Band = 1.5x + 1 MB (compression jitter).
+            base_path = REPO / "bench_runs" / "work_baseline_r07.json"
+            base = json.loads(base_path.read_text())["shuffle_write_mb"]
+            offenders = [
+                f"{q} {w[q]['shuffle_write_mb']} MB > band({b} MB)"
+                for q, b in base.items()
+                if q in w and w[q]["shuffle_write_mb"] > 1.5 * b + 1.0
+            ]
             check(
-                "PageRank's 10 rounds shuffle less than half of one blocked-TC pass",
-                w["pagerank10"]["shuffle_write_mb"]
-                < 0.5 * w["tc_blocked"]["shuffle_write_mb"],
-                f"pagerank10 {w['pagerank10']['shuffle_write_mb']} MB vs "
+                "per-query shuffle bytes within the committed r7 baseline band",
+                not offenders,
+                "; ".join(offenders) or f"all {len(base)} queries within 1.5x+1MB of baseline",
+            )
+            # the r7 sentinel (replaces r6's 222 MB tc_blocked watch): the
+            # broadcast-CSR route must keep tc_blocked's shuffle ~zero
+            check(
+                "tc_blocked broadcast route keeps shuffle under 1 MB per pass",
+                w["tc_blocked"]["shuffle_write_mb"] < 1.0,
                 f"tc_blocked {w['tc_blocked']['shuffle_write_mb']} MB per pass",
             )
 
